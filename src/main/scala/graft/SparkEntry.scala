@@ -1,13 +1,139 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import htmlspark.pipeline.{RelationalOps, TextOps, AnnOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Queries q01–q14 are the job-level relational operators (SURVEY.md §2.7)
+  * plus the training-data text/similarity operators; each has a DuckDB
+  * oracle. q15+ are Spark-native near-dup / ANN operators whose semantics
+  * aren't plain SQL → rows-only check.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelationalOps.aggPushdown(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg_pushdown"   -> (RelationalOps.aggPushdown _),
+    "q02_join_broadcast" -> (RelationalOps.joinBroadcast _),
+    "q03_dedup_latest"   -> (RelationalOps.dedupLatest _),
+    "q04_resume_antijoin"-> (RelationalOps.resumeAntiJoin _),
+    "q05_topk_largest"   -> (RelationalOps.topkLargest _),
+    "q06_set_except"     -> (RelationalOps.setExcept _),
+    "q07_sessionize"     -> (RelationalOps.sessionize _),
+    "q08_daily_stats"    -> (RelationalOps.dailyStats _),
+    "q09_exact_dedup"    -> (TextOps.exactDedup _),
+    "q10_token_count"    -> (TextOps.tokenCount _),
+    "q11_lang_guess"     -> (TextOps.langGuess _),
+    "q12_quality_score"  -> (TextOps.qualityScore _),
+    "q13_fingerprint"    -> (TextOps.fingerprint _),
+    "q14_embed_stats"    -> (AnnOps.embedStats _),
+    "q15_minhash_lsh"    -> ((s, d) => TextOps.minhashLshPairs(s, d)),
+    "q16_simhash"        -> ((s, d) => TextOps.simhash(s, d)),
+    "q17_jaccard_cand"   -> ((s, d) => TextOps.jaccardOnCandidates(s, d)),
+    "q18_cosine_topk"    -> ((s, d) => AnnOps.cosineTopK(s, d)),
+    "q19_ann_lsh"        -> ((s, d) => AnnOps.annLsh(s, d)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_pushdown" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1995-09-01 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+    "q02_join_broadcast" ->
+      """SELECT r_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
+    "q03_dedup_latest" ->
+      """SELECT user_id, event_id AS latest_event, ts AS latest_ts
+        |FROM (SELECT user_id, event_id, ts,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1""".stripMargin,
+    "q04_resume_antijoin" ->
+      """SELECT user_id, count(*) AS n_events
+        |FROM events e
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                  WHERE c.c_custkey = e.user_id
+        |                    AND c.c_mktsegment = 'BUILDING')
+        |GROUP BY 1""".stripMargin,
+    "q05_topk_largest" ->
+      """SELECT doc_id, n_chars FROM documents
+        |ORDER BY n_chars DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "q06_set_except" ->
+      """SELECT DISTINCT user_id FROM events
+        |EXCEPT
+        |SELECT CAST(c_custkey AS BIGINT) AS user_id FROM customer
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    "q07_sessionize" ->
+      """SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM (SELECT user_id,
+        |        CASE WHEN prev_ts IS NULL
+        |             OR date_diff('second', prev_ts, ts) > 1800
+        |             THEN 1 ELSE 0 END AS is_new
+        |      FROM (SELECT user_id, ts,
+        |              lag(ts) OVER (PARTITION BY user_id
+        |                ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |            FROM events) a) b
+        |GROUP BY 1""".stripMargin,
+    "q08_daily_stats" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q09_exact_dedup" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keeper_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q10_token_count" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars2,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+        |    AS n_spaces
+        |FROM documents""".stripMargin,
+    "q11_lang_guess" ->
+      """SELECT lang_guess, lang, count(*) AS n
+        |FROM (SELECT CASE
+        |        WHEN contains(lower(text), ' the ')
+        |          OR contains(lower(text), ' and ') THEN 'en'
+        |        WHEN contains(lower(text), ' der ')
+        |          OR contains(lower(text), ' und ') THEN 'de'
+        |        WHEN contains(lower(text), ' le ')
+        |          OR contains(lower(text), ' les ') THEN 'fr'
+        |        ELSE 'other' END AS lang_guess, lang
+        |      FROM documents) t
+        |GROUP BY 1, 2""".stripMargin,
+    "q12_quality_score" ->
+      """SELECT doc_id,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+        |    AS BIGINT) AS n_punct,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |    AS BIGINT) AS n_digits,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+        |    AS BIGINT) AS n_upper
+        |FROM documents""".stripMargin,
+    "q13_fingerprint" ->
+      """SELECT doc_id, substr(md5(lower(text)), 1, 16) AS fp16
+        |FROM documents""".stripMargin,
+    "q14_embed_stats" ->
+      """SELECT label, count(*) AS n,
+        |  CAST(min(len(embedding)) AS BIGINT) AS min_dim,
+        |  CAST(max(len(embedding)) AS BIGINT) AS max_dim
+        |FROM embeddings GROUP BY 1""".stripMargin,
+  )
 }
