@@ -320,11 +320,13 @@ final class HtmlTokenizer(sink: TokenSink) {
   // -------------------------------------------------------------------
   // Main loop
   // -------------------------------------------------------------------
-  def tokenize(input: String, initialState: Int = DATA): Unit = {
+  /** initialState = -1 keeps any state pre-set via setRcdata()/etc.
+    * (fragment parsing sets the content model before tokenizing). */
+  def tokenize(input: String, initialState: Int = -1): Unit = {
     buf = preprocess(input)
     len = buf.length
     pos = 0
-    state = initialState
+    if (initialState >= 0) state = initialState
     run()
   }
 

@@ -1,0 +1,84 @@
+package htmlspark.tree
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable.ArrayBuffer
+
+/** Runs every .dat file under src/test/resources/tree-construction in the
+  * html5lib tree-construction format:
+  *
+  *   #data / #errors / [#document-fragment ctx] / #document
+  *
+  * The #document section is the "| "-indented tree dump (DomNode.dump).
+  * Vectors are authored in-repo (the reference fork ships none —
+  * FIXTURES.md §2).
+  */
+class TreeConstructionSpec extends AnyFunSuite {
+
+  case class Case(file: String, idx: Int, data: String, fragment: Option[String],
+                  expected: String)
+
+  private def parseDat(f: java.io.File): Seq[Case] = {
+    val lines = scala.io.Source.fromFile(f, "UTF-8").getLines().toVector
+    val cases = ArrayBuffer[Case]()
+    var i = 0
+    var idx = 0
+    while (i < lines.length) {
+      assert(lines(i) == "#data", s"${f.getName}: expected #data at line $i")
+      val data = ArrayBuffer[String]()
+      i += 1
+      while (i < lines.length && !lines(i).startsWith("#")) { data += lines(i); i += 1 }
+      // skip #errors and similar sections until #document(-fragment)
+      var fragment: Option[String] = None
+      while (i < lines.length && lines(i) != "#document") {
+        if (lines(i) == "#document-fragment") {
+          i += 1
+          fragment = Some(lines(i))
+          i += 1
+        } else i += 1
+      }
+      assert(i < lines.length, s"${f.getName}: missing #document")
+      i += 1 // past #document
+      val doc = ArrayBuffer[String]()
+      while (i < lines.length && lines(i).nonEmpty) { doc += lines(i); i += 1 }
+      while (i < lines.length && lines(i).isEmpty) i += 1
+      cases += Case(f.getName, idx, data.mkString("\n"), fragment,
+        doc.map(_ + "\n").mkString)
+      idx += 1
+    }
+    cases.toSeq
+  }
+
+  private val dir = new java.io.File("src/test/resources/tree-construction")
+  private val files = Option(dir.listFiles()).getOrElse(Array.empty)
+    .filter(_.getName.endsWith(".dat")).sortBy(_.getName)
+
+  for (f <- files; c <- parseDat(f)) {
+    test(s"${c.file}[${c.idx}] ${c.data.take(60).replace("\n", "\\n")}") {
+      val result = c.fragment match {
+        case Some(ctx) => HtmlParser.parseFragment(c.data, ctx)
+        case None => HtmlParser.parse(c.data)
+      }
+      val dumpRoot = c.fragment match {
+        case Some(_) =>
+          // fragment: dump children of the synthetic html root
+          val root = result.builder.fragmentRoot
+          val fakeDoc = DomNode.document()
+          if (root.children != null) {
+            // move children under a doc for dumping without reparent effects
+            val sb = new StringBuilder
+            root.children.foreach { ch => sb.append(DomNode.dumpSubtree(ch, 0)) }
+            assert(sb.toString == c.expected,
+              s"\n--- got ---\n$sb\n--- want ---\n${c.expected}")
+          } else assert(c.expected.isEmpty)
+          null
+        case None =>
+          assert(DomNode.dump(result.doc) == c.expected,
+            s"\n--- got ---\n${DomNode.dump(result.doc)}\n--- want ---\n${c.expected}")
+          null
+      }
+      val _ = dumpRoot
+    }
+  }
+
+  test("at least one tree-construction vector present") { assert(files.nonEmpty) }
+}
