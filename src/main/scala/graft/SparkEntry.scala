@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import htmlspark.pipeline.{RelationalOps, TextOps, AnnOps}
+import htmlspark.pipeline.{RelationalOps, TextOps, AnnOps, PagesQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -10,9 +10,10 @@ import htmlspark.pipeline.{RelationalOps, TextOps, AnnOps}
   * aren't plain SQL → rows-only check.
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the HTML5 extraction pipeline over the synthesized pages
+    * corpus scaled off sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    RelationalOps.aggPushdown(spark, "/root/testdata/sf0.001")
+    PagesQueries.extractPipeline(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -35,6 +36,11 @@ object SparkEntry {
     "q17_jaccard_cand"   -> ((s, d) => TextOps.jaccardOnCandidates(s, d)),
     "q18_cosine_topk"    -> ((s, d) => AnnOps.cosineTopK(s, d)),
     "q19_ann_lsh"        -> ((s, d) => AnnOps.annLsh(s, d)),
+    "p01_extract"        -> ((s, d) => PagesQueries.extractPipeline(s, d)),
+    "p02_parse_metrics"  -> (PagesQueries.parseMetrics _),
+    "p03_resume"         -> (PagesQueries.resumeRoundTrip _),
+    "p04_lineage"        -> (PagesQueries.partitionLineage _),
+    "p05_throughput"     -> (PagesQueries.throughput _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

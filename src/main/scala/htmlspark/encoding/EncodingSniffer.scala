@@ -1,0 +1,222 @@
+package htmlspark.encoding
+
+import java.nio.charset.{Charset, CodingErrorAction, StandardCharsets}
+
+/** WHATWG encoding sniffing for html:binary blobs: BOM, then the spec's
+  * 1024-byte meta prescan, then a default. The reference has no BOM/prescan
+  * (its input is already chars) but detects `<meta charset>` reactively and
+  * suspends for re-decode (reference: Core/TreeBuilder.cs:3043-3250,
+  * Core/Tokenizer.cs:2020-2059); our batch equivalent is a bounded
+  * restart-with-declared-charset after the first parse (see ParseJob).
+  */
+object EncodingSniffer {
+
+  final case class Sniff(charset: String, source: String, bomBytes: Int)
+
+  val SourceBom = "bom"
+  val SourceMeta = "meta-prescan"
+  val SourceDefault = "default"
+
+  /** Normalize a charset label per the WHATWG encoding registry (the cases
+    * that matter for a web corpus; unknown → null). */
+  def normalizeLabel(label0: String): String = {
+    if (label0 == null) return null
+    val label = label0.trim.toLowerCase
+    label match {
+      case "utf-8" | "utf8" | "unicode-1-1-utf-8" => "UTF-8"
+      case "windows-1252" | "iso-8859-1" | "iso8859-1" | "latin1" | "latin-1" |
+           "us-ascii" | "ascii" | "ansi_x3.4-1968" | "cp1252" | "l1" => "windows-1252"
+      case "iso-8859-15" | "latin9" => "ISO-8859-15"
+      case "windows-1251" | "cp1251" => "windows-1251"
+      case "windows-1250" | "cp1250" => "windows-1250"
+      case "shift_jis" | "shift-jis" | "sjis" | "ms_kanji" => "Shift_JIS"
+      case "euc-jp" => "EUC-JP"
+      case "euc-kr" | "ks_c_5601-1987" => "EUC-KR"
+      case "gbk" | "gb2312" | "gb_2312" => "GBK"
+      case "gb18030" => "GB18030"
+      case "big5" | "big5-hkscs" => "Big5"
+      case "iso-8859-2" => "ISO-8859-2"
+      case "koi8-r" => "KOI8-R"
+      // in-document utf-16 declarations mean the document lied (it decoded
+      // as ASCII-superset to reach the meta) → treat as utf-8 per spec
+      case "utf-16" | "utf-16le" | "utf-16be" => "UTF-8"
+      case _ => null
+    }
+  }
+
+  def sniff(bytes: Array[Byte]): Sniff = {
+    if (bytes.length >= 3 && bytes(0) == 0xEF.toByte && bytes(1) == 0xBB.toByte &&
+        bytes(2) == 0xBF.toByte)
+      return Sniff("UTF-8", SourceBom, 3)
+    if (bytes.length >= 2 && bytes(0) == 0xFE.toByte && bytes(1) == 0xFF.toByte)
+      return Sniff("UTF-16BE", SourceBom, 2)
+    if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xFE.toByte)
+      return Sniff("UTF-16LE", SourceBom, 2)
+    val meta = prescan(bytes)
+    if (meta != null) Sniff(meta, SourceMeta, 0)
+    else Sniff("UTF-8", SourceDefault, 0)
+  }
+
+  def decode(bytes: Array[Byte], sniffResult: Sniff): String = {
+    val cs = try Charset.forName(sniffResult.charset)
+    catch { case _: Exception => StandardCharsets.UTF_8 }
+    val dec = cs.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(CodingErrorAction.REPLACE)
+    val bb = java.nio.ByteBuffer.wrap(bytes, sniffResult.bomBytes,
+      bytes.length - sniffResult.bomBytes)
+    dec.decode(bb).toString
+  }
+
+  // ------------------------------------------------------------------
+  // The spec's "prescan a byte stream to determine its encoding",
+  // restricted to the first 1024 bytes.
+  // ------------------------------------------------------------------
+  def prescan(bytes: Array[Byte], limit: Int = 1024): String = {
+    val n = math.min(bytes.length, limit)
+    def at(i: Int): Int = if (i < n) bytes(i) & 0xFF else -1
+    def isWs(c: Int) = c == 0x09 || c == 0x0A || c == 0x0C || c == 0x0D || c == 0x20
+    def lower(c: Int) = if (c >= 'A' && c <= 'Z') c + 0x20 else c
+    def matchesIgnoreCase(i: Int, s: String): Boolean = {
+      var k = 0
+      while (k < s.length) {
+        if (lower(at(i + k)) != s.charAt(k).toInt) return false
+        k += 1
+      }
+      true
+    }
+    var i = 0
+    while (i < n) {
+      if (at(i) == '<') {
+        if (matchesIgnoreCase(i + 1, "!--")) {
+          i += 4
+          while (i < n && !(at(i) == '>' && at(i - 1) == '-' && at(i - 2) == '-')) i += 1
+          i += 1
+        } else if (matchesIgnoreCase(i + 1, "meta") &&
+                   (isWs(at(i + 5)) || at(i + 5) == '/')) {
+          i += 6
+          var gotPragma = false
+          var needPragma = -1 // -1 unknown, 0 no, 1 yes
+          var charset: String = null
+          val seen = new scala.collection.mutable.HashSet[String]
+          var more = true
+          while (more) {
+            val attr = getAttribute(bytes, n, i)
+            if (attr == null) more = false
+            else {
+              i = attr._3
+              val (name, value) = (attr._1, attr._2)
+              if (!seen.contains(name)) {
+                seen += name
+                name match {
+                  case "http-equiv" =>
+                    if (value == "content-type") gotPragma = true
+                  case "content" =>
+                    if (charset == null) {
+                      val c = extractCharsetFromContent(value)
+                      if (c != null) { charset = c; needPragma = 1 }
+                    }
+                  case "charset" =>
+                    charset = value; needPragma = 0
+                  case _ =>
+                }
+              }
+            }
+          }
+          if (charset != null && (needPragma == 0 || (needPragma == 1 && gotPragma))) {
+            val norm = normalizeLabel(charset)
+            if (norm != null) return norm
+          }
+        } else if (at(i + 1) == '/' || ((lower(at(i + 1)) >= 'a') && lower(at(i + 1)) <= 'z')) {
+          // a tag: skip name then attributes
+          i += 1
+          while (i < n && !isWs(at(i)) && at(i) != '>') i += 1
+          var more = true
+          while (more) {
+            val attr = getAttribute(bytes, n, i)
+            if (attr == null) more = false else i = attr._3
+          }
+          i += 1
+        } else if (at(i + 1) == '!' || at(i + 1) == '?') {
+          i += 2
+          while (i < n && at(i) != '>') i += 1
+          i += 1
+        } else i += 1
+      } else i += 1
+    }
+    null
+  }
+
+  /** spec "get an attribute": returns (name, value, newPos) or null. */
+  private def getAttribute(bytes: Array[Byte], n: Int, start: Int): (String, String, Int) = {
+    def at(i: Int): Int = if (i < n) bytes(i) & 0xFF else -1
+    def isWs(c: Int) = c == 0x09 || c == 0x0A || c == 0x0C || c == 0x0D || c == 0x20
+    def lower(c: Int) = if (c >= 'A' && c <= 'Z') c + 0x20 else c
+    var i = start
+    while (isWs(at(i)) || at(i) == '/') i += 1
+    if (at(i) == '>' || at(i) == -1) return null
+    val name = new java.lang.StringBuilder
+    val value = new java.lang.StringBuilder
+    var inName = true
+    while (inName) {
+      at(i) match {
+        case '=' if name.length > 0 => inName = false; i += 1
+        case c if isWs(c) =>
+          // spaces before possible '='
+          while (isWs(at(i))) i += 1
+          if (at(i) != '=') return (name.toString, "", i)
+          i += 1; inName = false
+        case '/' | '>' => return (name.toString, "", i)
+        case -1 => return (name.toString, "", i)
+        case c => name.append(lower(c).toChar); i += 1
+      }
+    }
+    while (isWs(at(i))) i += 1
+    at(i) match {
+      case '"' | '\'' =>
+        val q = at(i); i += 1
+        while (at(i) != q && at(i) != -1) { value.append(lower(at(i)).toChar); i += 1 }
+        if (at(i) == q) i += 1
+        (name.toString, value.toString, i)
+      case '>' => (name.toString, "", i)
+      case -1 => (name.toString, "", i)
+      case _ =>
+        while (!isWs(at(i)) && at(i) != '>' && at(i) != -1) {
+          value.append(lower(at(i)).toChar); i += 1
+        }
+        (name.toString, value.toString, i)
+    }
+  }
+
+  /** The spec's "extracting a character encoding from a meta element"
+    * (reference counterpart: Core/TreeBuilder.cs:3043-3217 state machine). */
+  def extractCharsetFromContent(content: String): String = {
+    if (content == null) return null
+    val s = content
+    val lower = s.toLowerCase
+    var from = 0
+    while (true) {
+      val idx = lower.indexOf("charset", from)
+      if (idx < 0) return null
+      var i = idx + 7
+      while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
+      if (i < s.length && s.charAt(i) == '=') {
+        i += 1
+        while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
+        if (i >= s.length) return null
+        val c = s.charAt(i)
+        if (c == '"' || c == '\'') {
+          val end = s.indexOf(c, i + 1)
+          if (end < 0) return null
+          return s.substring(i + 1, end)
+        }
+        var j = i
+        while (j < s.length && !Character.isWhitespace(s.charAt(j)) && s.charAt(j) != ';')
+          j += 1
+        return s.substring(i, j)
+      }
+      from = idx + 7
+    }
+    null
+  }
+}

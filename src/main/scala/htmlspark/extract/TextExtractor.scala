@@ -1,0 +1,78 @@
+package htmlspark.extract
+
+import htmlspark.tree.{Dom, DomNode}
+
+/** The frozen extraction rule (FIXTURES.md §3) — the per-row invariant the
+  * north rule grades byte-identically:
+  *
+  *   In-order DOM walk; emit text-node contents; skip `script`, `style`,
+  *   `template` subtrees (incl. template content fragments); emit "\n" at
+  *   the close of each block-level element (set below); collapse runs of
+  *   >2 "\n" to exactly 2; strip leading/trailing "\n"; UTF-8 encode.
+  *
+  * The behaviors this is sensitive to live in the parser (text placement
+  * under foster parenting / AFE reconstruction / adoption agency, CRLF and
+  * NUL normalization, entity expansion, needToDropLF, RCDATA capture) —
+  * SURVEY.md §2.6 maps each to the reference.
+  */
+object TextExtractor {
+
+  /** Block-level close → newline. Frozen; do not extend without regenerating
+    * every golden. */
+  val BlockClose: Set[String] = Set(
+    "address", "article", "aside", "blockquote", "body", "caption",
+    "center", "dd", "details", "dialog", "dir", "div", "dl", "dt",
+    "fieldset", "figcaption", "figure", "footer", "form", "h1", "h2",
+    "h3", "h4", "h5", "h6", "header", "hgroup", "hr", "li", "listing",
+    "main", "menu", "nav", "ol", "p", "pre", "search", "section",
+    "summary", "table", "tbody", "td", "tfoot", "th", "thead", "tr", "ul")
+
+  private val Skip: Set[String] = Set("script", "style", "template")
+
+  def extract(doc: DomNode): String = {
+    val sb = new java.lang.StringBuilder(256)
+    walk(doc, sb)
+    normalize(sb)
+  }
+
+  private def walk(n: DomNode, sb: java.lang.StringBuilder): Unit = {
+    n.kind match {
+      case Dom.TEXT => sb.append(n.text)
+      case Dom.ELEMENT =>
+        if (n.ns == Dom.NS_HTML && Skip.contains(n.name)) return
+        if (n.children != null) {
+          var i = 0
+          while (i < n.children.length) { walk(n.children(i), sb); i += 1 }
+        }
+        if (n.ns == Dom.NS_HTML && BlockClose.contains(n.name)) sb.append('\n')
+      case Dom.DOCUMENT =>
+        if (n.children != null) {
+          var i = 0
+          while (i < n.children.length) { walk(n.children(i), sb); i += 1 }
+        }
+      case _ => // comments, doctypes: nothing
+    }
+  }
+
+  /** Collapse \n runs of length >2 to 2; strip leading/trailing \n. */
+  private def normalize(sb: java.lang.StringBuilder): String = {
+    val out = new java.lang.StringBuilder(sb.length)
+    var i = 0
+    val n = sb.length
+    var nlRun = 0
+    while (i < n) {
+      val c = sb.charAt(i)
+      if (c == '\n') {
+        nlRun += 1
+        if (nlRun <= 2 && out.length > 0) out.append('\n')
+      } else {
+        nlRun = 0
+        out.append(c)
+      }
+      i += 1
+    }
+    var end = out.length
+    while (end > 0 && out.charAt(end - 1) == '\n') end -= 1
+    out.substring(0, end)
+  }
+}

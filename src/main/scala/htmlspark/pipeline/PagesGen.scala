@@ -1,0 +1,161 @@
+package htmlspark.pipeline
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import java.sql.Timestamp
+
+/** One row of the Common-Crawl-style pages table (BASELINE.json input_hint):
+  * (url, warc_ts, html binary, text, lang). */
+final case class Page(url: String, warc_ts: Timestamp, html: Array[Byte],
+                      text: String, lang: String)
+
+/** Deterministic synthetic pages generator (FIXTURES.md §1): document
+  * classes are keyed off a splitmix of the row index so content is
+  * reproducible at any scale without any shared RNG state — generation is
+  * embarrassingly parallel (spark.range → map), the only scalable shape at
+  * 10^12 rows.
+  */
+object PagesGen {
+
+  /** splitmix64 — deterministic per-index pseudo-randomness. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  private def pick(h: Long, n: Int): Int = (Math.floorMod(h, n.toLong)).toInt
+
+  private val Words = Array("alpha", "beta", "gamma", "delta", "omega",
+    "lorem", "ipsum", "dolor", "data", "spark", "table", "query", "web",
+    "crawl", "page", "text", "node", "tree", "parse", "html")
+  private val Langs = Array("en", "de", "fr", "ja", "")
+
+  private def sentence(h: Long, words: Int): String = {
+    val sb = new java.lang.StringBuilder(words * 7)
+    var i = 0
+    while (i < words) {
+      if (i > 0) sb.append(' ')
+      sb.append(Words(pick(mix(h + i), Words.length)))
+      i += 1
+    }
+    sb.append('.')
+    sb.toString
+  }
+
+  private def para(h: Long, sentences: Int): String =
+    (0 until sentences).map(k => sentence(mix(h ^ (k * 7919)), 6 + pick(mix(h + k), 8)))
+      .mkString(" ")
+
+  /** Render the HTML for document index i. Class mix per FIXTURES.md §1. */
+  def renderHtml(i: Long): Array[Byte] = {
+    val h = mix(i)
+    val cls = pick(h, 100)
+    val title = s"Doc $i"
+    val body = new java.lang.StringBuilder(1024)
+
+    if (cls < 60) { // plain article
+      body.append(s"<h1>${sentence(h, 4)}</h1>")
+      var p = 0
+      val nP = 3 + pick(mix(h + 1), 5)
+      while (p < nP) {
+        body.append(s"<p>${para(mix(h + 2 + p), 3)} &amp; <a href=\"/l$p\">${sentence(mix(h + 99 + p), 3)}</a></p>")
+        p += 1
+      }
+      body.append(s"<ul><li>${sentence(mix(h + 50), 4)}<li>${sentence(mix(h + 51), 4)}</ul>")
+    } else if (cls < 70) { // table-heavy incl. misplaced text (foster parenting)
+      body.append("<table>misplaced ")
+      var r = 0
+      val nR = 2 + pick(mix(h + 3), 6)
+      while (r < nR) {
+        body.append(s"<tr><td>${sentence(mix(h + 10 + r), 3)}<td>${sentence(mix(h + 20 + r), 2)}")
+        r += 1
+      }
+      body.append("</table><p>after table</p>")
+    } else if (cls < 78) { // misnested formatting (adoption agency)
+      body.append(s"<p><b>${sentence(h + 4, 3)}<i>${sentence(h + 5, 3)}</b>${sentence(h + 6, 2)}</i></p>")
+      body.append(s"<a href=\"/x\">one<a href=\"/y\">two</a>")
+      body.append(s"<b><b><b><b>${sentence(h + 7, 3)}</b></b>")
+    } else if (cls < 86) { // script/style/rcdata payloads
+      body.append(s"<script>var a = '<div>${sentence(h + 8, 2)}</div>'; <!--<script>x</script>--></script>")
+      body.append(s"<style>p {{ color: red }}</style>")
+      body.append(s"<p>${para(h + 9, 2)}</p><textarea>\nkeep ${sentence(h + 10, 2)}</textarea>")
+    } else if (cls < 90) { // quirks doctype handled in wrapper below
+      body.append(s"<p>${para(h + 11, 2)}</p>")
+    } else if (cls < 93) { // foreign content
+      body.append(s"<svg><title>chart</title><![CDATA[raw<data]]><circle r=\"4\"/></svg>")
+      body.append(s"<math><mi>x</mi><mo>+</mo><mn>1</mn></math><p>${sentence(h + 12, 4)}</p>")
+    } else if (cls < 96) { // charset variants (encoded below)
+      body.append(s"<p>café naïve € ${para(h + 13, 2)}</p>")
+    } else if (cls < 98) { // pathological-deep
+      val depth = 200 + pick(mix(h + 14), 1800)
+      var d = 0
+      while (d < depth) { body.append("<div>"); d += 1 }
+      body.append(sentence(h + 15, 5)) // no closers
+    } else { // pathological-large
+      val reps = 200 + pick(mix(h + 16), 800)
+      var r = 0
+      while (r < reps) {
+        body.append(s"<p>${para(mix(h + 17 + r), 2)} &copy; &hellip;</p>")
+        r += 1
+      }
+    }
+
+    val quirky = cls >= 86 && cls < 90
+    val doctype =
+      if (quirky) "<!DOCTYPE HTML PUBLIC \"-//W3C//DTD HTML 3.2 Final//EN\">"
+      else "<!DOCTYPE html>"
+    val charsetClass = if (cls >= 93 && cls < 96) pick(mix(h + 18), 4) else -1
+    val metaCharset = charsetClass match {
+      case 2 => "<meta charset=windows-1252>"
+      case 3 => "<meta http-equiv=Content-Type content=\"text/html; charset=windows-1252\">"
+      case _ => "<meta charset=utf-8>"
+    }
+    val html =
+      s"$doctype<html><head>$metaCharset<title>$title</title></head><body>$body</body></html>"
+    charsetClass match {
+      case 0 => // UTF-8 BOM
+        val raw = html.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val out = new Array[Byte](raw.length + 3)
+        out(0) = 0xEF.toByte; out(1) = 0xBB.toByte; out(2) = 0xBF.toByte
+        System.arraycopy(raw, 0, out, 3, raw.length)
+        out
+      case 1 => // UTF-16LE BOM
+        val raw = html.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+        val out = new Array[Byte](raw.length + 2)
+        out(0) = 0xFF.toByte; out(1) = 0xFE.toByte
+        System.arraycopy(raw, 0, out, 2, raw.length)
+        out
+      case 2 | 3 => // windows-1252 with C1-range bytes (é € survive)
+        html.getBytes(java.nio.charset.Charset.forName("windows-1252"))
+      case _ =>
+        html.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+  }
+
+  private val BaseEpochMs = 1704067200000L // 2024-01-01T00:00:00Z
+
+  def page(i: Long): Page = {
+    val h = mix(i ^ 0x51ca17ee)
+    Page(
+      url = s"https://synth.example/${i % 97}/$i.html",
+      warc_ts = new Timestamp(BaseEpochMs + (i % 86400) * 1000L),
+      html = renderHtml(i),
+      text = "",
+      lang = Langs(pick(h, Langs.length)))
+  }
+
+  /** The pages Dataset: n rows (+~1% duplicate urls one day later, for the
+    * latest-crawl dedup path). */
+  def pages(spark: SparkSession, n: Long, partitions: Int = 32): Dataset[Page] = {
+    import spark.implicits._
+    val base = spark.range(0, n, 1, partitions).map(i => page(i))
+    val dups = spark.range(0, math.max(n / 100, 1), 1, math.min(partitions, 4))
+      .map { k =>
+        val i = k * 100 // every 100th url re-crawled next day
+        val p = page(i)
+        p.copy(warc_ts = new Timestamp(p.warc_ts.getTime + 86400000L),
+          html = renderHtml(i ^ 0xbeef))
+      }
+    base.union(dups)
+  }
+}

@@ -1,0 +1,81 @@
+package htmlspark.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract queries over the synthesized pages table (FIXTURES.md §1:
+  * deterministic, seeded, no external data). The HTML parse itself has no
+  * SQL oracle (DuckDB cannot parse HTML) → rows-only checks; determinism
+  * comes from the seeded generator + pure parse.
+  */
+object PagesQueries {
+
+  /** Scale the corpus with the sf dir via the events row count. */
+  def nPages(spark: SparkSession, dir: String): Long =
+    spark.read.parquet(s"$dir/events.parquet").count()
+
+  /** Flagship: full extraction pipeline (dedup → salt → parse). */
+  def extractPipeline(spark: SparkSession, dir: String, cap: Long = 5000): DataFrame = {
+    val n = math.max(500L, math.min(nPages(spark, dir) / 10, cap))
+    ParseJob.run(PagesGen.pages(spark, n))
+      .select(col("url"), md5(col("text_extracted").cast("binary")).as("text_md5"),
+        col("n_chars"), col("n_parse_errors"), col("quirks_mode"),
+        col("charset"), col("charset_source"), col("restarted"), col("parse_ok"))
+      .orderBy("url")
+  }
+
+  /** Stable parse-quality metrics (error counts per quirks/charset class). */
+  def parseMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val n = math.max(500L, math.min(nPages(spark, dir) / 10, 5000L))
+    ParseJob.run(PagesGen.pages(spark, n))
+      .groupBy("quirks_mode", "charset_source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_parse_errors").cast("long")).as("sum_errors"),
+        sum(when(col("parse_ok"), 0L).otherwise(1L)).as("n_failed"),
+        sum(col("n_bytes").cast("long")).as("sum_bytes"))
+      .orderBy("quirks_mode", "charset_source")
+  }
+
+  /** Checkpoint/resume round-trip: commit half the corpus as snapshot 1,
+    * then show the resume anti-join only reprocesses the other half. */
+  def resumeRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = 1000L
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft_resume_").toString
+    val pages = ParseJob.dedupLatest(PagesGen.pages(spark, n))
+    val firstHalf = pages.filter(pmod(xxhash64($"url"), lit(2)) === 0)
+    IcebergishIO.commit(ParseJob.parseAll(firstHalf), tableDir)
+    val remaining = IcebergishIO.resumeFilter(pages, tableDir)
+    val parsedRemaining = ParseJob.parseAll(remaining)
+    val out = Seq(
+      ("total", pages.count()),
+      ("committed_snapshot_1", firstHalf.count()),
+      ("remaining_after_resume", remaining.count()),
+      ("parsed_remaining_ok", parsedRemaining.filter($"parse_ok").count())
+    ).toDF("stage", "n")
+    out
+  }
+
+  /** Per-partition lineage metrics of the salted parse (north rule). */
+  def partitionLineage(spark: SparkSession, dir: String): DataFrame = {
+    val n = math.max(500L, math.min(nPages(spark, dir) / 10, 5000L))
+    val docs = ParseJob.run(PagesGen.pages(spark, n))
+    ParseJob.metrics(docs)
+      .agg(count(lit(1)).as("n_partitions"),
+        sum("n_docs").as("n_docs"),
+        sum("n_ok").as("n_ok"),
+        sum("n_failed").as("n_failed"),
+        sum("n_restarted").as("n_restarted"),
+        sum("sum_errors").as("sum_errors"))
+  }
+
+  /** Throughput workhorse for Bench: full-scale corpus parse, one count. */
+  def throughput(spark: SparkSession, dir: String): DataFrame = {
+    val n = nPages(spark, dir)
+    ParseJob.run(PagesGen.pages(spark, n))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bytes").cast("long")).as("sum_bytes"),
+        sum(when(col("parse_ok"), 1L).otherwise(0L)).as("n_ok"))
+  }
+}

@@ -1,0 +1,172 @@
+package htmlspark.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import htmlspark.encoding.EncodingSniffer
+import htmlspark.extract.TextExtractor
+import htmlspark.tree.HtmlParser
+import java.sql.Timestamp
+
+/** Flat, Catalyst-friendly output row of the extraction pipeline
+  * (SURVEY.md §1.2). */
+final case class ExtractedDoc(
+    url: String,
+    warc_ts: Timestamp,
+    lang: String,
+    text_extracted: String,
+    charset: String,
+    charset_source: String,
+    n_bytes: Int,
+    n_chars: Int,
+    n_parse_errors: Int,
+    quirks_mode: String,
+    restarted: Boolean,
+    parse_ok: Boolean,
+    error: String)
+
+/** Per-partition lineage + metrics row (north rule: "per-partition lineage
+  * + parse-error metrics"). */
+final case class PartitionMetrics(
+    partition_id: Int,
+    n_docs: Long,
+    n_ok: Long,
+    n_failed: Long,
+    n_restarted: Long,
+    sum_bytes: Long,
+    sum_errors: Long,
+    min_url: String,
+    max_url: String,
+    elapsed_ms: Long)
+
+/** The extraction pipeline: pages → (dedup latest) → skew-salted
+  * repartition → per-row parse via typed Dataset map → extracted docs (+
+  * per-partition metrics). The parse is a pure Array[Byte] ⇒ ExtractedDoc
+  * function; everything around it stays declarative so Catalyst owns scan
+  * pruning and the dedup window plan.
+  */
+object ParseJob {
+
+  /** Pure per-row parse: sniff → decode → tokenize+tree-build → extract.
+    * Bounded single restart when a meta-declared charset contradicts the
+    * default (reference suspends mid-parse instead:
+    * Core/Tokenizer.cs:2056-2059). Total: any byte soup yields a row. */
+  def parsePage(p: Page): ExtractedDoc = {
+    val bytes = if (p.html == null) Array.emptyByteArray else p.html
+    try {
+      var sniff = EncodingSniffer.sniff(bytes)
+      var html = EncodingSniffer.decode(bytes, sniff)
+      var result = HtmlParser.parse(html)
+      var restarted = false
+      if (sniff.source == EncodingSniffer.SourceDefault) {
+        val declared = findMetaCharset(result.doc)
+        if (declared != null && declared != sniff.charset) {
+          sniff = EncodingSniffer.Sniff(declared, "meta-in-parse", 0)
+          html = EncodingSniffer.decode(bytes, sniff)
+          result = HtmlParser.parse(html)
+          restarted = true
+        }
+      }
+      val text = TextExtractor.extract(result.doc)
+      ExtractedDoc(
+        url = p.url, warc_ts = p.warc_ts, lang = p.lang,
+        text_extracted = text,
+        charset = sniff.charset, charset_source = sniff.source,
+        n_bytes = bytes.length, n_chars = text.length,
+        n_parse_errors = result.nErrors,
+        quirks_mode = result.quirksMode match {
+          case 0 => "no-quirks"; case 1 => "limited-quirks"; case _ => "quirks"
+        },
+        restarted = restarted, parse_ok = true, error = null)
+    } catch {
+      case e: Throwable =>
+        ExtractedDoc(p.url, p.warc_ts, p.lang, "", "", "", bytes.length, 0, 0,
+          "", restarted = false, parse_ok = false,
+          error = s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+  }
+
+  private def findMetaCharset(doc: htmlspark.tree.DomNode): String = {
+    import htmlspark.tree.Dom
+    var found: String = null
+    def walk(n: htmlspark.tree.DomNode): Unit = {
+      if (found != null || n.children == null) return
+      var i = 0
+      while (i < n.children.length && found == null) {
+        val c = n.children(i)
+        if (c.kind == Dom.ELEMENT) {
+          if (c.ns == Dom.NS_HTML && c.name == "meta" && c.attrs != null) {
+            val cs = c.attrs.get("charset")
+            if (cs != null) found = EncodingSniffer.normalizeLabel(cs)
+            else {
+              val he = c.attrs.get("http-equiv")
+              val content = c.attrs.get("content")
+              if (he != null && he.equalsIgnoreCase("content-type") && content != null) {
+                val x = EncodingSniffer.extractCharsetFromContent(content)
+                if (x != null) found = EncodingSniffer.normalizeLabel(x)
+              }
+            }
+          }
+          walk(c)
+        }
+        i += 1
+      }
+    }
+    walk(doc)
+    found
+  }
+
+  /** Dedup to the latest crawl per url (north-rule dedup; window + filter,
+    * single shuffle on url). */
+  def dedupLatest(pages: Dataset[Page]): Dataset[Page] = {
+    import pages.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"url").orderBy($"warc_ts".desc)
+    pages.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).drop("rn").as[Page]
+  }
+
+  /** Skew-salted repartition: CPU cost tracks byte size and nesting, which
+    * AQE cannot see (it balances shuffle bytes, and a 2 MB doc costs ~1000×
+    * a 2 KB doc in the SAME byte-balanced partition). Route rows by
+    * (size_bucket, salt) so pathological docs spread across tasks.
+    */
+  def saltBySize(pages: Dataset[Page], salts: Int = 32): Dataset[Page] = {
+    import pages.sparkSession.implicits._
+    pages
+      .withColumn("size_bucket",
+        when(octet_length($"html") > 1000000, 3)
+          .when(octet_length($"html") > 100000, 2)
+          .when(octet_length($"html") > 10000, 1)
+          .otherwise(0))
+      .withColumn("salt", pmod(xxhash64($"url"), lit(salts)))
+      .repartitionByRange(col("size_bucket"), col("salt"))
+      .drop("size_bucket", "salt")
+      .as[Page]
+  }
+
+  /** The parse stage: typed Dataset map (mapPartitions so per-partition
+    * metrics ride along without a second pass). */
+  def parseAll(pages: Dataset[Page]): Dataset[ExtractedDoc] = {
+    import pages.sparkSession.implicits._
+    pages.mapPartitions { it => it.map(parsePage) }
+  }
+
+  /** Full pipeline: dedup → salt → parse. */
+  def run(pages: Dataset[Page]): Dataset[ExtractedDoc] =
+    parseAll(saltBySize(dedupLatest(pages)))
+
+  /** Per-partition lineage/metrics over an extracted Dataset (second,
+    * cheap aggregation pass — partial aggregation map-side). */
+  def metrics(docs: Dataset[ExtractedDoc]): DataFrame = {
+    docs.groupBy(spark_partition_id().as("partition_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("parse_ok"), 1L).otherwise(0L)).as("n_ok"),
+        sum(when(col("parse_ok"), 0L).otherwise(1L)).as("n_failed"),
+        sum(when(col("restarted"), 1L).otherwise(0L)).as("n_restarted"),
+        sum(col("n_bytes").cast("long")).as("sum_bytes"),
+        sum(col("n_parse_errors").cast("long")).as("sum_errors"),
+        min(col("url")).as("min_url"),
+        max(col("url")).as("max_url"))
+  }
+}

@@ -1,0 +1,93 @@
+package htmlspark
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import htmlspark.tree.HtmlParser
+import htmlspark.extract.TextExtractor
+import htmlspark.encoding.EncodingSniffer
+
+/** Property tests (FIXTURES.md / SURVEY.md §5.2 item 4) — raw ScalaCheck
+  * generators driven from fixed seeds (no scalatestplus bridge offline). */
+class ParserPropertySpec extends AnyFunSuite {
+
+  private def forAllN[T](gen: Gen[T], n: Int = 200)(f: T => Unit): Unit = {
+    var i = 0
+    while (i < n) {
+      gen.apply(Gen.Parameters.default.withSize(40), Seed(i.toLong)) match {
+        case Some(v) =>
+          try f(v)
+          catch {
+            case e: Throwable =>
+              fail(s"failing input (seed=$i): ${v.toString.take(300)}", e)
+          }
+        case None =>
+      }
+      i += 1
+    }
+  }
+
+  private val htmlSoup: Gen[String] = {
+    val frag = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.oneOf("<", ">", "</", "<!--", "-->", "&", "&#", "&amp", ";",
+        "<div", "<p>", "</p>", "<script>", "</script>", "<table>", "<td>",
+        "='", "=\"", "<![CDATA[", "]]>", "<!DOCTYPE", "\u0000", "\r\n", "\r"),
+      Gen.listOfN(4, Gen.chooseNum(0, 0x2FFF)).map(_.map(_.toChar).mkString))
+    Gen.listOf(frag).map(_.mkString)
+  }
+
+  test("totality: any char soup parses to a document without throwing") {
+    forAllN(htmlSoup) { s =>
+      val r = HtmlParser.parse(s)
+      assert(r.doc != null)
+      TextExtractor.extract(r.doc)
+    }
+  }
+
+  test("CR / CRLF / LF input equivalence") {
+    forAllN(htmlSoup.map(_.replace("\r", ""))) { s =>
+      val lf = s
+      val crlf = s.replace("\n", "\r\n")
+      val cr = s.replace("\n", "\r")
+      val a = TextExtractor.extract(HtmlParser.parse(lf).doc)
+      val b = TextExtractor.extract(HtmlParser.parse(crlf).doc)
+      val c = TextExtractor.extract(HtmlParser.parse(cr).doc)
+      assert(a == b && b == c)
+    }
+  }
+
+  test("charset extractor matches a regex oracle on wellformed content") {
+    val contentGen = for {
+      pre <- Gen.oneOf("text/html", "text/html; ", "")
+      q <- Gen.oneOf("\"", "'", "")
+      cs <- Gen.oneOf("utf-8", "UTF-8", "windows-1252", "shift_jis")
+      ws <- Gen.oneOf("", " ", "  ")
+    } yield s"${pre}charset$ws=$ws$q$cs$q"
+    forAllN(contentGen) { content =>
+      val got = EncodingSniffer.extractCharsetFromContent(content)
+      val m = java.util.regex.Pattern
+        .compile("charset\\s*=\\s*([\"']?)([^\"';\\s]+)\\1")
+        .matcher(content)
+      val want = if (m.find()) m.group(2) else null
+      assert(got == want, s"content=[$content]")
+    }
+  }
+
+  test("totality on random bytes through the full page path") {
+    val byteGen = Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray)
+    forAllN(byteGen) { bytes =>
+      val p = htmlspark.pipeline.Page("u", new java.sql.Timestamp(0), bytes, "", "")
+      val d = htmlspark.pipeline.ParseJob.parsePage(p)
+      assert(d.parse_ok, String.valueOf(d.error))
+    }
+  }
+
+  test("parse determinism: same input → same extracted bytes") {
+    forAllN(htmlSoup) { s =>
+      val a = TextExtractor.extract(HtmlParser.parse(s).doc)
+      val b = TextExtractor.extract(HtmlParser.parse(s).doc)
+      assert(a == b)
+    }
+  }
+}

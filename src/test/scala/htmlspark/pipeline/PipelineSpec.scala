@@ -1,0 +1,109 @@
+package htmlspark.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** E2E pipeline test (SURVEY.md §5.2 item 6): synthesized pages at
+  * local[2]; row counts, byte-identical extracted text vs the in-JVM oracle
+  * (the same pure function run row-by-row OUTSIDE Spark), resume-after-
+  * partial-commit, metrics table shape, dedup semantics. */
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("pipeline-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private val N = 400L
+
+  test("pipeline output is byte-identical to the in-JVM per-row oracle") {
+    import spark.implicits._
+    val docs = ParseJob.run(PagesGen.pages(spark, N))
+      .select($"url", $"text_extracted").as[(String, String)].collect().toMap
+    // oracle: same pure function, no Spark, over the deduped logical corpus
+    val allPages = (0L until N).map(PagesGen.page) ++
+      (0L until math.max(N / 100, 1)).map { k =>
+        val i = k * 100
+        val p = PagesGen.page(i)
+        p.copy(warc_ts = new java.sql.Timestamp(p.warc_ts.getTime + 86400000L),
+          html = PagesGen.renderHtml(i ^ 0xbeef))
+      }
+    val latest = allPages.groupBy(_.url).map { case (_, ps) =>
+      ps.maxBy(_.warc_ts.getTime)
+    }
+    assert(docs.size == latest.size)
+    latest.foreach { p =>
+      val oracle = ParseJob.parsePage(p)
+      assert(docs.contains(p.url), s"missing ${p.url}")
+      assert(docs(p.url) == oracle.text_extracted,
+        s"text mismatch for ${p.url}")
+    }
+  }
+
+  test("all parses succeed and charset classes are exercised") {
+    import spark.implicits._
+    val docs = ParseJob.run(PagesGen.pages(spark, N)).cache()
+    assert(docs.filter(!$"parse_ok").count() == 0)
+    val sources = docs.select($"charset_source").distinct()
+      .as[String].collect().toSet
+    assert(sources.contains("bom"))
+    assert(sources.contains("meta-prescan"))
+    val charsets = docs.select($"charset").distinct().as[String].collect().toSet
+    assert(charsets.contains("UTF-16LE") || charsets.contains("UTF-16BE"))
+    assert(charsets.contains("windows-1252"))
+    val quirks = docs.select($"quirks_mode").distinct().as[String].collect().toSet
+    assert(quirks.contains("quirks") && quirks.contains("no-quirks"))
+    docs.unpersist()
+  }
+
+  test("resume: second run only processes uncommitted urls, union is complete") {
+    import spark.implicits._
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_spec_").toString
+    val pages = ParseJob.dedupLatest(PagesGen.pages(spark, N))
+    val firstHalf = pages.filter(org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.xxhash64($"url"), org.apache.spark.sql.functions.lit(2L)) === 0)
+    val snap1 = IcebergishIO.commit(ParseJob.parseAll(firstHalf), tableDir)
+    assert(snap1 == 1L)
+    val remaining = IcebergishIO.resumeFilter(pages, tableDir)
+    val nTotal = pages.count()
+    val nFirst = firstHalf.count()
+    assert(remaining.count() == nTotal - nFirst)
+    val snap2 = IcebergishIO.commit(ParseJob.parseAll(remaining), tableDir)
+    assert(snap2 == 2L)
+    val all = IcebergishIO.readCommitted(spark, tableDir).get
+    assert(all.select("url").distinct().count() == nTotal)
+    // idempotent: resuming again leaves nothing to do
+    assert(IcebergishIO.resumeFilter(pages, tableDir).count() == 0)
+  }
+
+  test("dedup keeps exactly one latest row per url") {
+    import spark.implicits._
+    val pages = PagesGen.pages(spark, N)
+    val deduped = ParseJob.dedupLatest(pages)
+    assert(deduped.count() == pages.select("url").distinct().count())
+    // re-crawled url 0 must carry the newer timestamp
+    val r = deduped.filter($"url" === "https://synth.example/0/0.html")
+      .select($"warc_ts").as[java.sql.Timestamp].collect()
+    assert(r.length == 1)
+    val orig = PagesGen.page(0).warc_ts.getTime
+    assert(r(0).getTime == orig + 86400000L)
+  }
+
+  test("per-partition metrics cover every doc and carry lineage ranges") {
+    import spark.implicits._
+    val docs = ParseJob.run(PagesGen.pages(spark, N))
+    val m = ParseJob.metrics(docs).collect()
+    assert(m.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    m.foreach { r =>
+      assert(r.getAs[String]("min_url") <= r.getAs[String]("max_url"))
+      assert(r.getAs[Long]("n_ok") + r.getAs[Long]("n_failed") == r.getAs[Long]("n_docs"))
+    }
+  }
+}
