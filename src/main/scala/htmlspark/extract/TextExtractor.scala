@@ -54,25 +54,28 @@ object TextExtractor {
     }
   }
 
-  /** Collapse \n runs of length >2 to 2; strip leading/trailing \n. */
+  /** Collapse \n runs of length >2 to 2; strip leading/trailing \n.
+    * Bulk char[] pass (StringBuilder.charAt per char is the slow shape). */
   private def normalize(sb: java.lang.StringBuilder): String = {
-    val out = new java.lang.StringBuilder(sb.length)
-    var i = 0
     val n = sb.length
+    val a = new Array[Char](n)
+    sb.getChars(0, n, a, 0)
+    val out = new Array[Char](n)
+    var w = 0
+    var i = 0
     var nlRun = 0
     while (i < n) {
-      val c = sb.charAt(i)
+      val c = a(i)
       if (c == '\n') {
         nlRun += 1
-        if (nlRun <= 2 && out.length > 0) out.append('\n')
+        if (nlRun <= 2 && w > 0) { out(w) = '\n'; w += 1 }
       } else {
         nlRun = 0
-        out.append(c)
+        out(w) = c; w += 1
       }
       i += 1
     }
-    var end = out.length
-    while (end > 0 && out.charAt(end - 1) == '\n') end -= 1
-    out.substring(0, end)
+    while (w > 0 && out(w - 1) == '\n') w -= 1
+    new String(out, 0, w)
   }
 }

@@ -139,7 +139,10 @@ object ParseJob {
           .when(octet_length($"html") > 10000, 1)
           .otherwise(0))
       .withColumn("salt", pmod(xxhash64($"url"), lit(salts)))
-      .repartitionByRange(col("size_bucket"), col("salt"))
+      // hash repartition (not range): no sampling pass over the source, and
+      // (bucket, salt) already has enough distinct keys to spread the big
+      // docs; range sampling would re-evaluate the whole upstream plan
+      .repartition(col("size_bucket"), col("salt"))
       .drop("size_bucket", "salt")
       .as[Page]
   }

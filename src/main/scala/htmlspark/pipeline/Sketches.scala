@@ -1,0 +1,140 @@
+package htmlspark.pipeline
+
+/** Row-local sketch kernels (MinHash, SimHash, shingle hashing) as tight
+  * JVM loops. Spark's higher-order array functions evaluate interpreted
+  * (boxed, no whole-stage codegen), which makes them the wrong tool for a
+  * per-row O(len × perms) kernel; a typed Dataset map of a primitive-array
+  * loop is 10-50× faster and still fully distributed. The relational parts
+  * (banding, bucket joins, dedup) stay in DataFrame land where Catalyst
+  * owns the plan.
+  */
+object Sketches {
+
+  /** xxhash64-style avalanche mix (splitmix64 finalizer) — deterministic,
+    * allocation-free. */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 ^ (z0 >>> 33)
+    z *= 0xFF51AFD7ED558CCDL
+    z ^= z >>> 33
+    z *= 0xC4CEB9FE1A85EC53L
+    z ^ (z >>> 33)
+  }
+
+  /** Distinct rolling hashes of k-char shingles of lowercase(text).
+    * Polynomial rolling hash then avalanche → 64-bit shingle ids. */
+  def shingleHashes(text: String, k: Int): Array[Long] = {
+    val n = text.length
+    if (n == 0) return Array(0L)
+    val m = math.max(n - k + 1, 1)
+    val set = new java.util.HashSet[Long](m * 2)
+    var h = 0L
+    var pow = 1L
+    var i = 0
+    val P = 1099511628211L
+    // precompute P^(k-1)
+    var j = 0
+    while (j < k - 1) { pow *= P; j += 1 }
+    while (i < n) {
+      val c = Character.toLowerCase(text.charAt(i)).toLong
+      if (i >= k) {
+        val out = Character.toLowerCase(text.charAt(i - k)).toLong
+        h -= out * pow
+      }
+      h = h * P + c
+      if (i >= k - 1) set.add(mix64(h))
+      i += 1
+    }
+    if (set.isEmpty) set.add(mix64(h))
+    val arr = new Array[Long](set.size)
+    val it = set.iterator()
+    var w = 0
+    while (it.hasNext) { arr(w) = it.next(); w += 1 }
+    arr
+  }
+
+  /** MinHash signature over shingle hashes: perm p's value is
+    * min over shingles of mix64(h ^ seed(p)). */
+  def minhash(hashes: Array[Long], numPerm: Int): Array[Long] = {
+    val sig = new Array[Long](numPerm)
+    var p = 0
+    while (p < numPerm) {
+      val seed = mix64(0x9E3779B97F4A7C15L * (p + 1))
+      var best = Long.MaxValue
+      var i = 0
+      while (i < hashes.length) {
+        val v = mix64(hashes(i) ^ seed)
+        if (v < best) best = v
+        i += 1
+      }
+      sig(p) = best
+      p += 1
+    }
+    sig
+  }
+
+  /** Band keys for LSH: hash of (band index, band slice of signature). */
+  def bandKeys(sig: Array[Long], bandSize: Int): Array[Long] = {
+    val nBands = sig.length / bandSize
+    val keys = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var h = mix64(b + 0x7F4A7C15L)
+      var i = 0
+      while (i < bandSize) {
+        h = mix64(h ^ sig(b * bandSize + i))
+        i += 1
+      }
+      keys(b) = h
+      b += 1
+    }
+    keys
+  }
+
+  /** 64-bit SimHash over whitespace/punct-split lowercase tokens. */
+  def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      // skip non-alnum
+      while (i < n && !Character.isLetterOrDigit(text.charAt(i))) i += 1
+      if (i < n) {
+        var h = 0xCBF29CE484222325L
+        while (i < n && Character.isLetterOrDigit(text.charAt(i))) {
+          h = (h ^ Character.toLowerCase(text.charAt(i)).toLong) * 1099511628211L
+          i += 1
+        }
+        val th = mix64(h)
+        var b = 0
+        while (b < 64) {
+          if (((th >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** Exact Jaccard over two sorted-or-not hash arrays (set semantics). */
+  def jaccard(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    val set = new java.util.HashSet[Long](a.length * 2)
+    var i = 0
+    while (i < a.length) { set.add(a(i)); i += 1 }
+    var inter = 0
+    val seen = new java.util.HashSet[Long](b.length * 2)
+    var j = 0
+    while (j < b.length) {
+      if (seen.add(b(j)) && set.contains(b(j))) inter += 1
+      j += 1
+    }
+    val union = set.size + seen.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+}

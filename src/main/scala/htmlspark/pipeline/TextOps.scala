@@ -75,50 +75,52 @@ object TextOps {
   // shingles → per-permutation min-hash → band keys → bucket self-join on
   // compact keys only. The shuffle payload is (band_key, doc_id): ~24 bytes
   // per doc per band regardless of document size — this is what makes the
-  // approach viable at 10^12 docs.
+  // approach viable at 10^12 docs. Signature kernels are tight JVM loops
+  // applied via typed Dataset map (see Sketches — Spark HOFs evaluate
+  // interpreted/boxed and are ~20× slower for this shape).
   // ---------------------------------------------------------------------
 
   private val NumPerm = 32
   private val BandSize = 4 // → 8 bands
+  private val ShingleK = 5
 
-  /** 5-char shingles of the lowercased text (higher-order fns, row-local). */
-  private def shingleCol(k: Int): Column = {
-    val t = lower(col("text"))
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
-      i => t.substr(i, lit(k))))
-  }
+  /** Degenerate-bucket cap: a band key shared by more than this many docs
+    * (boilerplate that hashed identically) would create an O(n²) bucket;
+    * those buckets are dropped and surfaced via minhashBucketStats rather
+    * than silently exploding the join. */
+  val MaxBucket = 1000
 
-  /** MinHash signature: for permutation p, min over shingles of
-    * xxhash64(shingle, p). xxhash64 is codegen'd; the signature is computed
-    * entirely row-local (no explode → no row blowup).
-    */
+  /** (doc_id, minhash signature) via typed map — row-local, no shuffle. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val shingles = shingleCol(5)
-    val sig = transform(sequence(lit(0), lit(NumPerm - 1)),
-      p => array_min(transform(col("shingles"), s => xxhash64(s, p))))
+    import spark.implicits._
     table(spark, dir, "documents")
-      .select(col("doc_id"), shingles.as("shingles"))
-      .select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        (id, Sketches.minhash(Sketches.shingleHashes(t, ShingleK), NumPerm)) }
+      .toDF("doc_id", "sig")
   }
 
-  /** LSH banding: docs sharing any band of the signature are candidates.
-    * Self-join on band key; bucket sizes bounded to defuse degenerate keys
-    * (the skew story: one viral boilerplate page must not create an O(n²)
-    * bucket).
-    */
+  /** (band, band_key, doc_id) rows — the compact LSH shuffle payload. */
+  private def bandRows(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val sig = Sketches.minhash(Sketches.shingleHashes(t, ShingleK), NumPerm)
+        val keys = Sketches.bandKeys(sig, BandSize)
+        keys.iterator.zipWithIndex.map { case (k, b) => (b, k, id) }
+      }.toDF("band", "band_key", "doc_id")
+  }
+
+  /** Candidate near-duplicate pairs: docs sharing any LSH band bucket. */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(spark, dir)
-    val nBands = NumPerm / BandSize
-    val bands = sigs.select(
-      col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
-        b => xxhash64(concat_ws("_",
-          b, slice(col("sig"), b * BandSize + 1, lit(BandSize)))))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_key")
-    val a = bands.as("a")
-    val b = bands.as("b")
+    val bands = bandRows(spark, dir)
+    val sizes = bands.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > 1 && col("bucket_n") <= MaxBucket)
+    val bounded = bands.join(sizes, Seq("band", "band_key"))
+    val a = bounded.as("a")
+    val b = bounded.as("b")
     a.join(b,
         col("a.band_key") === col("b.band_key") &&
           col("a.band") === col("b.band") &&
@@ -128,48 +130,31 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** SimHash: 64-bit signature via per-token hash bit-majority, computed
-    * row-local with aggregate/zip_with (no explode). Near-dups differ in
-    * few bits; here we emit the signature + a 16-bit band for bucketing.
-    */
+  /** SimHash signatures + 16-bit band (typed-map kernel). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tokens = array_distinct(
-      filter(split(lower(col("text")), "[^a-z0-9]+", -1), t => length(t) > 0))
-    val bitIdx = sequence(lit(0), lit(63))
-    val counts = aggregate(
-      col("tokens"),
-      transform(bitIdx, _ => lit(0L)),
-      (acc, t) => zip_with(acc,
-        transform(bitIdx, b =>
-          when(call_function("shiftright", xxhash64(t), b).bitwiseAND(1L) === 1L, 1L)
-            .otherwise(-1L)),
-        (x, y) => x + y))
-    val sig = aggregate(
-      zip_with(col("counts"), bitIdx,
-        (c, b) => when(c > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
+    import spark.implicits._
     table(spark, dir, "documents")
-      .select(col("doc_id"), tokens.as("tokens"))
-      .select(col("doc_id"), counts.as("counts"))
-      .select(col("doc_id"), sig.as("simhash"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, Sketches.simhash64(t)) }
+      .toDF("doc_id", "simhash")
       .withColumn("band16", col("simhash").bitwiseAND(0xFFFFL))
   }
 
-  /** n-gram Jaccard similarity for candidate pairs (exact, on shingle sets).
-    * Demonstrated on LSH candidates so the expensive set-intersection only
-    * runs on the (tiny) candidate set, never all pairs.
-    */
+  /** Exact n-gram Jaccard on the LSH candidate pairs only — the expensive
+    * set intersection never runs on all pairs. */
   def jaccardOnCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val docs = table(spark, dir, "documents")
-      .select(col("doc_id"), shingleCol(5).as("sh"))
+    import spark.implicits._
+    val hashes = table(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, Sketches.shingleHashes(t, ShingleK)) }
+      .toDF("doc_id", "sh")
     val pairs = minhashLshPairs(spark, dir)
     pairs
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-          .as("jaccard"))
+      .join(hashes.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(hashes.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (a, b, ha, hb) => (a, b, Sketches.jaccard(ha, hb)) }
+      .toDF("doc_a", "doc_b", "jaccard")
       .filter(col("jaccard") >= 0.8)
       .orderBy("doc_a", "doc_b")
   }

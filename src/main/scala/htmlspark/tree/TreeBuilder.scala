@@ -49,6 +49,15 @@ final class TreeBuilder extends TokenSink {
   private var fragmentContext: DomNode = null
   private var stopped = false
 
+  /** Count of open html-ns <p> elements — O(1) fast path for the
+    * hasInButtonScope("p") check every block start tag performs. Without
+    * it a depth-d document of unclosed <div>s costs O(d²) stack walks
+    * (the pathological-deep skew class made this the whole job's bottleneck:
+    * 2000-deep docs ≈ 4M walk steps each). Drift-safe: only pop()/
+    * removeFromStack decrement; a stale positive just falls back to the
+    * exact walk. */
+  private var openPCount = 0
+
   // pending table character tokens (IN_TABLE_TEXT)
   private val pendingTableText = new java.lang.StringBuilder(16)
   private var pendingTableHasNonWs = false
@@ -115,8 +124,10 @@ final class TreeBuilder extends TokenSink {
     }
     false
   }
-  private def hasInButtonScope(name: String): Boolean =
+  private def hasInButtonScope(name: String): Boolean = {
+    if (name == "p" && openPCount <= 0) return false
     hasInScopeGeneric(name, ElemInfo.inButtonScopeBarrier)
+  }
   private def hasInListScope(name: String): Boolean =
     hasInScopeGeneric(name, ElemInfo.inListScopeBarrier)
   private def hasInTableScope(name: String): Boolean =
@@ -144,7 +155,11 @@ final class TreeBuilder extends TokenSink {
     false
   }
 
-  private def pop(): DomNode = stack.remove(stack.length - 1)
+  private def pop(): DomNode = {
+    val n = stack.remove(stack.length - 1)
+    if (n.ns == NS_HTML && n.name == "p") openPCount -= 1
+    n
+  }
   private def popUntilPopped(name: String): Unit = {
     while (stack.nonEmpty && !isHtml(pop(), name)) ()
   }
@@ -156,7 +171,10 @@ final class TreeBuilder extends TokenSink {
   }
   private def removeFromStack(node: DomNode): Unit = {
     val i = stack.lastIndexOf(node)
-    if (i >= 0) stack.remove(i)
+    if (i >= 0) {
+      stack.remove(i)
+      if (node.ns == NS_HTML && node.name == "p") openPCount -= 1
+    }
   }
 
   private def generateImpliedEnd(except: String = null): Unit = {
@@ -241,6 +259,7 @@ final class TreeBuilder extends TokenSink {
     val e = DomNode.element(name, NS_HTML, attrs)
     insertNode(e)
     stack += e
+    if (name == "p") openPCount += 1
     e
   }
   private def insertForeignElement(name: String, ns: Int, attrs: AttrList): DomNode = {
@@ -382,8 +401,21 @@ final class TreeBuilder extends TokenSink {
           }
         }
       }
-      // insert lastNode at appropriate place relative to commonAncestor
-      val (p, before) = insertionLocation(commonAncestor)
+      // insert lastNode at appropriate place relative to commonAncestor —
+      // foster-aware even outside table text (spec AA step 14: a table-ish
+      // common ancestor foster-parents the node)
+      val (p, before) = {
+        val ca = commonAncestor
+        val tableish = ca.ns == NS_HTML && (ca.name == "table" ||
+          ca.name == "tbody" || ca.name == "tfoot" || ca.name == "thead" ||
+          ca.name == "tr")
+        if (tableish && !fosterParenting) {
+          fosterParenting = true
+          val r = insertionLocation(ca)
+          fosterParenting = false
+          r
+        } else insertionLocation(ca)
+      }
       if (before == null) p.appendChild(lastNode) else p.insertBefore(lastNode, before)
       val clone = DomNode.element(fe.name, fe.ns, fe.attrs.cloneAttrs())
       furthestBlock.reparentChildrenTo(clone)
@@ -616,6 +648,33 @@ final class TreeBuilder extends TokenSink {
       if (s < end && buf(s) == '\n') s += 1
     }
     if (s >= end) return
+    // Fast path for the two hottest text destinations: a run with no NUL is
+    // processed whole (one reconstruct + one insert) instead of per-word —
+    // spec-equivalent for these modes, ~3× fewer calls on prose documents.
+    if (mode == TEXT_MODE) {
+      var k = s
+      var hasNul = false
+      while (k < end && !hasNul) { if (buf(k) == '\u0000') hasNul = true; k += 1 }
+      if (!hasNul) { insertCharsAt(buf, s, end); return }
+    } else if ((mode == IN_BODY || mode == IN_CAPTION || mode == IN_CELL) &&
+               useHtmlRules(isStartTag = false, null, isText = true, isEof = false)) {
+      var k = s
+      var hasNul = false
+      var hasNonWs = false
+      while (k < end && !hasNul) {
+        val c = buf(k)
+        if (c == '\u0000') hasNul = true
+        else if (!(c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'))
+          hasNonWs = true
+        k += 1
+      }
+      if (!hasNul) {
+        reconstructAfe()
+        insertCharsAt(buf, s, end)
+        if (hasNonWs) framesetOk = false
+        return
+      }
+    }
     var i = s
     while (i < end) {
       // split run into segments: whitespace / NUL / other
