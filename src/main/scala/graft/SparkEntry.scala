@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import htmlspark.pipeline.{RelationalOps, TextOps, AnnOps, PagesQueries}
+import htmlspark.pipeline.{RelationalOps, TextOps, AnnOps, PagesQueries, MultimodalOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -41,6 +41,8 @@ object SparkEntry {
     "p03_resume"         -> (PagesQueries.resumeRoundTrip _),
     "p04_lineage"        -> (PagesQueries.partitionLineage _),
     "p05_throughput"     -> (PagesQueries.throughput _),
+    "p06_media_meta"     -> (MultimodalOps.mediaStats _),
+    "p07_frame_sample"   -> (MultimodalOps.frameSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

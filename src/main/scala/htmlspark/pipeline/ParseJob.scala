@@ -115,9 +115,35 @@ object ParseJob {
     found
   }
 
-  /** Dedup to the latest crawl per url (north-rule dedup; window + filter,
-    * single shuffle on url). */
+  /** Dedup to the latest crawl per url (north-rule dedup).
+    *
+    * Shuffle-frugal shape: re-crawled urls are rare (~1%), so never shuffle
+    * the 99% singleton payloads. Pass 1 finds duplicated urls with a
+    * KEY-ONLY aggregation (map-side partial agg; shuffle carries ~40 B/row,
+    * not the html blob). The dup-url set is then broadcast: singletons
+    * stream through with NO shuffle, and only the duplicated rows pay the
+    * per-url ranking window. At 10^12 rows the broadcast side is the dup
+    * URL set, not the corpus — if it outgrows broadcast, swap the two
+    * joins for bucketed ones; the payload-shuffle asymmetry still holds. */
   def dedupLatest(pages: Dataset[Page]): Dataset[Page] = {
+    import pages.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dupUrls = pages.groupBy($"url")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" > 1)
+      .select($"url")
+    val singletons = pages
+      .join(broadcast(dupUrls), Seq("url"), "left_anti").as[Page]
+    val w = Window.partitionBy($"url").orderBy($"warc_ts".desc)
+    val dedupedDups = pages
+      .join(broadcast(dupUrls), Seq("url"), "left_semi")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).drop("rn").as[Page]
+    singletons.union(dedupedDups)
+  }
+
+  /** The original full-shuffle variant, kept for A/B in benchmarks. */
+  def dedupLatestWindowAll(pages: Dataset[Page]): Dataset[Page] = {
     import pages.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"url").orderBy($"warc_ts".desc)
@@ -130,21 +156,25 @@ object ParseJob {
     * a 2 KB doc in the SAME byte-balanced partition). Route rows by
     * (size_bucket, salt) so pathological docs spread across tasks.
     */
-  def saltBySize(pages: Dataset[Page], salts: Int = 32): Dataset[Page] = {
+  def saltBySize(pages: Dataset[Page], salts: Int = 32,
+                 threshold: Int = 65536): Dataset[Page] = {
     import pages.sparkSession.implicits._
-    pages
+    // Only the skew classes pay the shuffle: ordinary docs (≤ threshold
+    // bytes) stay where the scan put them; big/deep docs are hash-spread by
+    // (size_bucket, salt). Parsing is order-independent, so the two legs
+    // re-unite with a cheap union after the narrow split.
+    val small = pages.filter(octet_length($"html") <= threshold)
+    val big = pages.filter(octet_length($"html") > threshold)
       .withColumn("size_bucket",
         when(octet_length($"html") > 1000000, 3)
-          .when(octet_length($"html") > 100000, 2)
-          .when(octet_length($"html") > 10000, 1)
-          .otherwise(0))
+          .when(octet_length($"html") > 262144, 2)
+          .otherwise(1))
       .withColumn("salt", pmod(xxhash64($"url"), lit(salts)))
-      // hash repartition (not range): no sampling pass over the source, and
-      // (bucket, salt) already has enough distinct keys to spread the big
-      // docs; range sampling would re-evaluate the whole upstream plan
+      // hash repartition (not range): no sampling pass over the source
       .repartition(col("size_bucket"), col("salt"))
       .drop("size_bucket", "salt")
       .as[Page]
+    small.union(big)
   }
 
   /** The parse stage: typed Dataset map (mapPartitions so per-partition

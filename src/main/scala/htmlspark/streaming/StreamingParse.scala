@@ -1,0 +1,34 @@
+package htmlspark.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import htmlspark.pipeline.{ExtractedDoc, Page, ParseJob}
+
+/** Structured Streaming face of the extraction engine. The reference is a
+  * batch corpus parser (SURVEY.md §2.7: no streaming semantics), but the
+  * per-row engine is a pure function, so the SAME parse stage lifts onto a
+  * streaming Dataset unchanged — `readStream` source → typed map →
+  * watermarked windowed metrics → `writeStream` sink.
+  */
+object StreamingParse {
+
+  /** The parse stage on a streaming Dataset[Page] — identical kernel to the
+    * batch path (ParseJob.parsePage). */
+  def parseStream(pages: Dataset[Page]): Dataset[ExtractedDoc] = {
+    import pages.sparkSession.implicits._
+    pages.map(ParseJob.parsePage)
+  }
+
+  /** Watermarked per-window parse metrics: 10-minute event-time windows on
+    * warc_ts, 1-hour lateness tolerance. Append-mode-compatible (aggregate
+    * keyed by the watermarked window). */
+  def windowedMetrics(docs: Dataset[ExtractedDoc]): DataFrame =
+    docs
+      .withWatermark("warc_ts", "1 hour")
+      .groupBy(window(col("warc_ts"), "10 minutes"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("parse_ok"), 0L).otherwise(1L)).as("n_failed"),
+        sum(col("n_parse_errors").cast("long")).as("sum_parse_errors"),
+        sum(col("n_bytes").cast("long")).as("sum_bytes"))
+}
