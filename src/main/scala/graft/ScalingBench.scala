@@ -20,7 +20,10 @@ object ScalingBench {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"scaling-bench-$cores")
-      .config("spark.sql.shuffle.partitions", math.max(cores, 8))
+      .config("spark.sql.shuffle.partitions", cores * 4)
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.buffer.pageSize", "16m")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.local.dir",
         sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))

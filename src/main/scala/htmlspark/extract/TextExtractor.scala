@@ -28,11 +28,75 @@ object TextExtractor {
     "summary", "table", "tbody", "td", "tfoot", "th", "thead", "tr", "ul")
 
   private val Skip: Set[String] = Set("script", "style", "template")
+  private val BlockCloseJ = {
+    val h = new java.util.HashSet[String](128); BlockClose.foreach(h.add); h
+  }
+  private val SkipJ = {
+    val h = new java.util.HashSet[String](8); Skip.foreach(h.add); h
+  }
 
   def extract(doc: DomNode): String = {
-    val sb = new java.lang.StringBuilder(256)
-    walk(doc, sb)
-    normalize(sb)
+    val out = new Writer(512)
+    walkW(doc, out)
+    out.result()
+  }
+
+  /** Streaming writer that applies the normalization rule inline — no
+    * intermediate buffer, no second pass. */
+  private final class Writer(initial: Int) {
+    private var a = new Array[Char](initial)
+    private var w = 0
+    private var nlRun = 0
+    private def ensure(k: Int): Unit =
+      if (w + k > a.length) {
+        var cap = a.length * 2
+        while (cap < w + k) cap *= 2
+        a = java.util.Arrays.copyOf(a, cap)
+      }
+    def newline(): Unit = {
+      nlRun += 1
+      if (nlRun <= 2 && w > 0) { ensure(1); a(w) = '\n'; w += 1 }
+    }
+    def text(sb: java.lang.StringBuilder): Unit = {
+      val n = sb.length
+      if (n == 0) return
+      ensure(n)
+      var i = 0
+      while (i < n) {
+        val c = sb.charAt(i)
+        if (c == '\n') {
+          nlRun += 1
+          if (nlRun <= 2 && w > 0) { a(w) = '\n'; w += 1 }
+        } else {
+          nlRun = 0
+          a(w) = c; w += 1
+        }
+        i += 1
+      }
+    }
+    def result(): String = {
+      while (w > 0 && a(w - 1) == '\n') w -= 1
+      new String(a, 0, w)
+    }
+  }
+
+  private def walkW(n: DomNode, out: Writer): Unit = {
+    n.kind match {
+      case Dom.TEXT => out.text(n.text)
+      case Dom.ELEMENT =>
+        if (n.ns == Dom.NS_HTML && SkipJ.contains(n.name)) return
+        if (n.children != null) {
+          var i = 0
+          while (i < n.children.length) { walkW(n.children(i), out); i += 1 }
+        }
+        if (n.ns == Dom.NS_HTML && BlockCloseJ.contains(n.name)) out.newline()
+      case Dom.DOCUMENT =>
+        if (n.children != null) {
+          var i = 0
+          while (i < n.children.length) { walkW(n.children(i), out); i += 1 }
+        }
+      case _ =>
+    }
   }
 
   private def walk(n: DomNode, sb: java.lang.StringBuilder): Unit = {

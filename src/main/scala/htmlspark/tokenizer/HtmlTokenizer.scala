@@ -326,6 +326,8 @@ final class HtmlTokenizer(sink: TokenSink) {
     buf = preprocess(input)
     len = buf.length
     pos = 0
+    // text output can never exceed input length: pre-size once, no growth
+    pend.ensure(len + 16)
     if (initialState >= 0) state = initialState
     run()
   }

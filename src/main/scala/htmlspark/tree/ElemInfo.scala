@@ -28,10 +28,14 @@ object ElemInfo {
     "annotation-xml")
   val SpecialSvg: Set[String] = Set("foreignObject", "desc", "title")
 
+  private val SpecialJ = { val h = new java.util.HashSet[String](256); Special.foreach(h.add); h }
+  private val SpecialMathMLJ = { val h = new java.util.HashSet[String](16); SpecialMathML.foreach(h.add); h }
+  private val SpecialSvgJ = { val h = new java.util.HashSet[String](8); SpecialSvg.foreach(h.add); h }
+
   def isSpecial(ns: Int, name: String): Boolean = ns match {
-    case Dom.NS_HTML => Special.contains(name)
-    case Dom.NS_MATHML => SpecialMathML.contains(name)
-    case Dom.NS_SVG => SpecialSvg.contains(name)
+    case Dom.NS_HTML => SpecialJ.contains(name)
+    case Dom.NS_MATHML => SpecialMathMLJ.contains(name)
+    case Dom.NS_SVG => SpecialSvgJ.contains(name)
     case _ => false
   }
 
@@ -45,10 +49,14 @@ object ElemInfo {
   private val ScopeMathML = Set("mi", "mo", "mn", "ms", "mtext", "annotation-xml")
   private val ScopeSvg = Set("foreignObject", "desc", "title")
 
+  private val ScopeHtmlJ = { val h = new java.util.HashSet[String](16); ScopeHtml.foreach(h.add); h }
+  private val ScopeMathMLJ = { val h = new java.util.HashSet[String](16); ScopeMathML.foreach(h.add); h }
+  private val ScopeSvgJ = { val h = new java.util.HashSet[String](8); ScopeSvg.foreach(h.add); h }
+
   def inDefaultScopeBarrier(ns: Int, name: String): Boolean = ns match {
-    case Dom.NS_HTML => ScopeHtml.contains(name)
-    case Dom.NS_MATHML => ScopeMathML.contains(name)
-    case Dom.NS_SVG => ScopeSvg.contains(name)
+    case Dom.NS_HTML => ScopeHtmlJ.contains(name)
+    case Dom.NS_MATHML => ScopeMathMLJ.contains(name)
+    case Dom.NS_SVG => ScopeSvgJ.contains(name)
     case _ => false
   }
 
