@@ -32,7 +32,11 @@ object PagesQueries {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_parse_errors").cast("long")).as("sum_errors"),
         sum(when(col("parse_ok"), 0L).otherwise(1L)).as("n_failed"),
-        sum(col("n_bytes").cast("long")).as("sum_bytes"))
+        sum(col("n_bytes").cast("long")).as("sum_bytes"),
+        percentile_approx(col("parse_us"), lit(0.5), lit(1000))
+          .as("parse_us_p50"),
+        percentile_approx(col("parse_us"), lit(0.99), lit(1000))
+          .as("parse_us_p99"))
       .orderBy("quirks_mode", "charset_source")
   }
 

@@ -22,7 +22,8 @@ final case class ExtractedDoc(
     quirks_mode: String,
     restarted: Boolean,
     parse_ok: Boolean,
-    error: String)
+    error: String,
+    parse_us: Long)
 
 /** Per-partition lineage + metrics row (north rule: "per-partition lineage
   * + parse-error metrics"). */
@@ -52,6 +53,7 @@ object ParseJob {
     * Core/Tokenizer.cs:2056-2059). Total: any byte soup yields a row. */
   def parsePage(p: Page): ExtractedDoc = {
     val bytes = if (p.html == null) Array.emptyByteArray else p.html
+    val t0 = System.nanoTime()
     try {
       var sniff = EncodingSniffer.sniff(bytes)
       var html = EncodingSniffer.decode(bytes, sniff)
@@ -76,12 +78,14 @@ object ParseJob {
         quirks_mode = result.quirksMode match {
           case 0 => "no-quirks"; case 1 => "limited-quirks"; case _ => "quirks"
         },
-        restarted = restarted, parse_ok = true, error = null)
+        restarted = restarted, parse_ok = true, error = null,
+        parse_us = (System.nanoTime() - t0) / 1000)
     } catch {
       case e: Throwable =>
         ExtractedDoc(p.url, p.warc_ts, p.lang, "", "", "", bytes.length, 0, 0,
           "", restarted = false, parse_ok = false,
-          error = s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          error = s"${e.getClass.getSimpleName}: ${e.getMessage}",
+          parse_us = (System.nanoTime() - t0) / 1000)
     }
   }
 
