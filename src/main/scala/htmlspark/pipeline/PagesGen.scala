@@ -104,10 +104,13 @@ object PagesGen {
     val doctype =
       if (quirky) "<!DOCTYPE HTML PUBLIC \"-//W3C//DTD HTML 3.2 Final//EN\">"
       else "<!DOCTYPE html>"
-    val charsetClass = if (cls >= 93 && cls < 96) pick(mix(h + 18), 4) else -1
+    val charsetClass = if (cls >= 93 && cls < 96) pick(mix(h + 18), 5) else -1
     val metaCharset = charsetClass match {
       case 2 => "<meta charset=windows-1252>"
       case 3 => "<meta http-equiv=Content-Type content=\"text/html; charset=windows-1252\">"
+      case 4 => // late meta: beyond the 1024-byte prescan window → exercises
+                // the bounded restart-with-declared-charset path
+        "<!-- " + ("pad " * 300) + " --><meta charset=windows-1252>"
       case _ => "<meta charset=utf-8>"
     }
     val html =
@@ -125,7 +128,7 @@ object PagesGen {
         out(0) = 0xFF.toByte; out(1) = 0xFE.toByte
         System.arraycopy(raw, 0, out, 2, raw.length)
         out
-      case 2 | 3 => // windows-1252 with C1-range bytes (é € survive)
+      case 2 | 3 | 4 => // windows-1252 with C1-range bytes (é € survive)
         html.getBytes(java.nio.charset.Charset.forName("windows-1252"))
       case _ =>
         html.getBytes(java.nio.charset.StandardCharsets.UTF_8)

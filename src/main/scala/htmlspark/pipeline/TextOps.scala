@@ -37,12 +37,15 @@ object TextOps {
 
   /** Heuristic language ID by stopword presence (n-gram-ish, deterministic). */
   def langGuess(spark: SparkSession, dir: String): DataFrame = {
-    val t = lower(col("text"))
+    // project lower(text) once — six contains() over a shared column beats
+    // six independent lower() evaluations (no CSE across when-branches)
+    val t = col("t")
     val guess = when(t.contains(" the ") || t.contains(" and "), "en")
       .when(t.contains(" der ") || t.contains(" und "), "de")
       .when(t.contains(" le ") || t.contains(" les "), "fr")
       .otherwise("other")
     table(spark, dir, "documents")
+      .select(lower(col("text")).as("t"), col("lang"))
       .select(guess.as("lang_guess"), col("lang"))
       .groupBy("lang_guess", "lang")
       .agg(count(lit(1)).as("n"))
