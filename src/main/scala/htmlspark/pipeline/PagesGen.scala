@@ -135,6 +135,30 @@ object PagesGen {
     }
   }
 
+  /** Independent expected-extraction oracle for the plain-article class
+    * (cls < 60): derives the frozen extraction rule's output directly from
+    * the template — no tokenizer, no tree builder, no extractor involved.
+    * A disagreement means the parser chain broke the §2.6 invariant.
+    * None for the other document classes. */
+  def plainExpectedText(i: Long): Option[String] = {
+    val h = mix(i)
+    val cls = pick(h, 100)
+    if (cls >= 60) return None
+    val sb = new java.lang.StringBuilder(512)
+    sb.append(s"Doc $i")          // <title> text, no block boundary after
+    sb.append(sentence(h, 4)).append('\n') // <h1> close
+    val nP = 3 + pick(mix(h + 1), 5)
+    var p = 0
+    while (p < nP) {
+      sb.append(para(mix(h + 2 + p), 3)).append(" & ")
+        .append(sentence(mix(h + 99 + p), 3)).append('\n') // </p>
+      p += 1
+    }
+    sb.append(sentence(mix(h + 50), 4)).append('\n')  // first <li> close
+    sb.append(sentence(mix(h + 51), 4))                // trailing \n stripped
+    Some(sb.toString)
+  }
+
   private val BaseEpochMs = 1704067200000L // 2024-01-01T00:00:00Z
 
   def page(i: Long): Page = {

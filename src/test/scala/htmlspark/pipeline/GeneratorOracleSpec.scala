@@ -1,0 +1,22 @@
+package htmlspark.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end invariant check with a parser-independent oracle: for the
+  * plain-article class the expected extracted text is derived from the
+  * generator template itself. Every byte must match through
+  * sniff → decode → tokenize → tree-build → extract. */
+class GeneratorOracleSpec extends AnyFunSuite {
+  test("plain-article extraction is byte-identical to the template oracle") {
+    var checked = 0
+    (0L until 3000L).foreach { i =>
+      PagesGen.plainExpectedText(i).foreach { expected =>
+        val got = ParseJob.parsePage(PagesGen.page(i)).text_extracted
+        assert(got == expected,
+          s"doc $i:\n--- got ---\n${got.take(300)}\n--- want ---\n${expected.take(300)}")
+        checked += 1
+      }
+    }
+    assert(checked > 1500, s"only $checked plain docs checked")
+  }
+}
