@@ -1402,7 +1402,11 @@ final class TreeBuilder extends TokenSink {
     val isBreakout = ElemInfo.ForeignBreakout.contains(name) ||
       (name == "font" && (attrs.contains("color") || attrs.contains("face") ||
         attrs.contains("size")))
-    if (isBreakout) {
+    // Fragment case: never break out (reference semantics,
+    // Core/TreeBuilder.cs:1429-1521 — the pop loop cannot pass the synthetic
+    // root, so breaking out would re-dispatch forever against the foreign
+    // context element).
+    if (isBreakout && fragmentContext == null) {
       err("foreign-breakout")
       while (!(current.ns == NS_HTML || isMathMlTextIp(current) || isHtmlIp(current)))
         pop()
