@@ -83,6 +83,18 @@ class ParserPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("fragment totality: any soup in any context parses without hanging") {
+    val ctxGen = Gen.oneOf("div", "td", "tr", "tbody", "table", "select",
+      "title", "textarea", "script", "style", "plaintext", "template",
+      "svg path", "math ms", "svg desc", "math annotation-xml", "html",
+      "head", "frameset", "colgroup", "caption", "option", "p", "ruby",
+      "noscript", "body")
+    forAllN(Gen.zip(ctxGen, htmlSoup), 400) { case (ctx, s) =>
+      val r = HtmlParser.parseFragment(s, ctx)
+      assert(r.builder.fragmentRoot != null)
+    }
+  }
+
   test("parse determinism: same input → same extracted bytes") {
     forAllN(htmlSoup) { s =>
       val a = TextExtractor.extract(HtmlParser.parse(s).doc)
