@@ -1,5 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark main. Emits ONE JSON line:
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+  *
+  * Methodology (VERDICT r1 "Next round #1"): one-time costs — session
+  * bring-up, parquet footer reads, codegen, and JIT of the parse engine —
+  * previously landed on whichever query ran first (q11: 46.5s cold vs 0.42s
+  * warm). An untimed warmup now absorbs them, and queries run in stable
+  * sorted order so BENCH_r{N}.json diffs round-over-round.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,20 +17,53 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.local.dir",
         sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    warmup(spark, sfDir)
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Untimed throwaway actions covering each one-time cost source:
+    * parquet footers for every table the queries scan, whole-stage codegen
+    * + shuffle machinery, the typed-map encoder path, and C2-compilation of
+    * the HTML engine's hot methods (a few thousand parses suffices). */
+  private def warmup(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tables = Seq("lineitem", "orders", "customer", "nation", "region",
+      "events", "documents", "embeddings")
+    tables.foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet")
+        .limit(1000).groupBy(lit(1)).count().collect()
+      catch { case _: Throwable => () }
+    }
+    // JIT the parse engine off-Spark (tight loop compiles fastest) ...
+    var i = 0L
+    while (i < 3000) {
+      val p = htmlspark.pipeline.PagesGen.page(i)
+      htmlspark.pipeline.ParseJob.parsePage(p)
+      i += 1
+    }
+    // ... and once through the Spark typed-map path (encoders, task launch).
+    try {
+      htmlspark.pipeline.ParseJob
+        .parseAll(htmlspark.pipeline.PagesGen.pages(spark, 2000))
+        .filter($"parse_ok").count()
+    } catch { case _: Throwable => () }
   }
 }

@@ -36,7 +36,9 @@ object SparkEntry {
     "q17_jaccard_cand"   -> ((s, d) => TextOps.jaccardOnCandidates(s, d)),
     "q18_cosine_topk"    -> ((s, d) => AnnOps.cosineTopK(s, d)),
     "q19_ann_lsh"        -> ((s, d) => AnnOps.annLsh(s, d)),
+    "q20_lsh_bucket_stats" -> ((s, d) => TextOps.minhashBucketStats(s, d)),
     "p01_extract"        -> ((s, d) => PagesQueries.extractPipeline(s, d)),
+    "p08_plain_text_md5" -> (PagesQueries.plainTextMd5 _),
     "p02_parse_metrics"  -> (PagesQueries.parseMetrics _),
     "p03_resume"         -> (PagesQueries.resumeRoundTrip _),
     "p04_lineage"        -> (PagesQueries.partitionLineage _),
@@ -143,5 +145,13 @@ object SparkEntry {
         |  CAST(min(len(embedding)) AS BIGINT) AS min_dim,
         |  CAST(max(len(embedding)) AS BIGINT) AS max_dim
         |FROM embeddings GROUP BY 1""".stripMargin,
+    // Flagship-path oracle: Verify materializes the template-derived
+    // expected rows (PagesGen.expectedPlainDocs — parser-independent) to a
+    // fixed parquet path; DuckDB reads them back. A mismatch vs the Spark
+    // side (full sniff→tokenize→tree-build→extract chain) flags a broken
+    // §2.6 extraction invariant on the plain-article class (~60% of docs).
+    "p08_plain_text_md5" ->
+      """SELECT url, text_md5, n_chars
+        |FROM read_parquet('/root/repo/target/p08_expected/*.parquet')""".stripMargin,
   )
 }

@@ -99,47 +99,4 @@ object TextExtractor {
     }
   }
 
-  private def walk(n: DomNode, sb: java.lang.StringBuilder): Unit = {
-    n.kind match {
-      case Dom.TEXT => sb.append(n.text)
-      case Dom.ELEMENT =>
-        if (n.ns == Dom.NS_HTML && Skip.contains(n.name)) return
-        if (n.children != null) {
-          var i = 0
-          while (i < n.children.length) { walk(n.children(i), sb); i += 1 }
-        }
-        if (n.ns == Dom.NS_HTML && BlockClose.contains(n.name)) sb.append('\n')
-      case Dom.DOCUMENT =>
-        if (n.children != null) {
-          var i = 0
-          while (i < n.children.length) { walk(n.children(i), sb); i += 1 }
-        }
-      case _ => // comments, doctypes: nothing
-    }
-  }
-
-  /** Collapse \n runs of length >2 to 2; strip leading/trailing \n.
-    * Bulk char[] pass (StringBuilder.charAt per char is the slow shape). */
-  private def normalize(sb: java.lang.StringBuilder): String = {
-    val n = sb.length
-    val a = new Array[Char](n)
-    sb.getChars(0, n, a, 0)
-    val out = new Array[Char](n)
-    var w = 0
-    var i = 0
-    var nlRun = 0
-    while (i < n) {
-      val c = a(i)
-      if (c == '\n') {
-        nlRun += 1
-        if (nlRun <= 2 && w > 0) { out(w) = '\n'; w += 1 }
-      } else {
-        nlRun = 0
-        out(w) = c; w += 1
-      }
-      i += 1
-    }
-    while (w > 0 && out(w - 1) == '\n') w -= 1
-    new String(out, 0, w)
-  }
 }

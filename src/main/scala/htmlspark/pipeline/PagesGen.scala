@@ -159,6 +159,30 @@ object PagesGen {
     Some(sb.toString)
   }
 
+  /** The expected-extraction oracle as a table: (url, text_md5, n_chars)
+    * for every plain-article doc the deduped pipeline should emit over
+    * pages(n). Mirrors pages(n)'s dup logic — a url re-crawled one day
+    * later (every 100th, content index i ^ 0xbeef) survives dedup as the
+    * re-crawl, so its expected text comes from the re-crawl's content
+    * index. Derived from the template only (plainExpectedText): no
+    * tokenizer, tree builder, or extractor on this side. */
+  def expectedPlainDocs(spark: SparkSession, n: Long): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, md5, length}
+    val nDups = math.max(n / 100, 1)
+    spark.range(0, n, 1, 8)
+      .flatMap { boxed =>
+        val i = boxed.longValue
+        val contentIdx = if (i % 100 == 0 && i / 100 < nDups) i ^ 0xbeef else i
+        plainExpectedText(contentIdx)
+          .map(t => (s"https://synth.example/${i % 97}/$i.html", t))
+      }
+      .toDF("url", "expected_text")
+      .select(col("url"),
+        md5(col("expected_text").cast("binary")).as("text_md5"),
+        length(col("expected_text")).cast("long").as("n_chars"))
+  }
+
   private val BaseEpochMs = 1704067200000L // 2024-01-01T00:00:00Z
 
   def page(i: Long): Page = {

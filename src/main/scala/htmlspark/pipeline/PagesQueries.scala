@@ -14,14 +14,34 @@ object PagesQueries {
   def nPages(spark: SparkSession, dir: String): Long =
     spark.read.parquet(s"$dir/events.parquet").count()
 
-  /** Flagship: full extraction pipeline (dedup → salt → parse). */
-  def extractPipeline(spark: SparkSession, dir: String, cap: Long = 5000): DataFrame = {
-    val n = math.max(500L, math.min(nPages(spark, dir) / 10, cap))
-    ParseJob.run(PagesGen.pages(spark, n))
+  /** Corpus size used by the sampled p-queries: shared so the Spark side
+    * and the Verify-written oracle parquet agree on the row set. */
+  def sampleN(spark: SparkSession, dir: String, cap: Long = 5000): Long =
+    math.max(500L, math.min(nPages(spark, dir) / 10, cap))
+
+  /** Flagship: full extraction pipeline (dedup → salt → parse). No embedded
+    * global sort — determinism ordering is applied by the Verify wrapper;
+    * pipeline consumers at scale take the rows unordered. */
+  def extractPipeline(spark: SparkSession, dir: String, cap: Long = 5000): DataFrame =
+    ParseJob.run(PagesGen.pages(spark, sampleN(spark, dir, cap)))
       .select(col("url"), md5(col("text_extracted").cast("binary")).as("text_md5"),
         col("n_chars"), col("n_parse_errors"), col("quirks_mode"),
         col("charset"), col("charset_source"), col("restarted"), col("parse_ok"))
-      .orderBy("url")
+
+  /** Flagship ORACLE face (driver DuckDB-checkable): per-url md5 of the
+    * extracted text for the plain-article class, joined against the
+    * template-derived expected set (PagesGen.expectedPlainDocs — no
+    * tokenizer/tree-builder/extractor involved on that side). Verify writes
+    * the expected rows to a fixed parquet path that p08's oracleSql reads;
+    * a hash mismatch means the parser chain broke the §2.6 invariant. */
+  def plainTextMd5(spark: SparkSession, dir: String): DataFrame = {
+    val n = sampleN(spark, dir)
+    ParseJob.run(PagesGen.pages(spark, n))
+      .join(PagesGen.expectedPlainDocs(spark, n).select(col("url")),
+        Seq("url"), "left_semi")
+      .select(col("url"),
+        md5(col("text_extracted").cast("binary")).as("text_md5"),
+        col("n_chars").cast("long").as("n_chars"))
   }
 
   /** Stable parse-quality metrics (error counts per quirks/charset class). */
@@ -31,6 +51,7 @@ object PagesQueries {
       .groupBy("quirks_mode", "charset_source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_parse_errors").cast("long")).as("sum_errors"),
+        sum(when(col("late_meta"), 1L).otherwise(0L)).as("n_late_meta"),
         sum(when(col("parse_ok"), 0L).otherwise(1L)).as("n_failed"),
         sum(col("n_bytes").cast("long")).as("sum_bytes"),
         percentile_approx(col("parse_us"), lit(0.5), lit(1000))
@@ -71,6 +92,7 @@ object PagesQueries {
         sum("n_ok").as("n_ok"),
         sum("n_failed").as("n_failed"),
         sum("n_restarted").as("n_restarted"),
+        sum("n_late_meta").as("n_late_meta"),
         sum("sum_errors").as("sum_errors"))
   }
 

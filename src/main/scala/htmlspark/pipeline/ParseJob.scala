@@ -21,6 +21,7 @@ final case class ExtractedDoc(
     n_parse_errors: Int,
     quirks_mode: String,
     restarted: Boolean,
+    late_meta: Boolean,
     parse_ok: Boolean,
     error: String,
     parse_us: Long)
@@ -59,8 +60,16 @@ object ParseJob {
       var html = EncodingSniffer.decode(bytes, sniff)
       var result = HtmlParser.parse(html)
       var restarted = false
+      var lateMeta = false
       if (sniff.source == EncodingSniffer.SourceDefault) {
         val declared = findMetaCharset(result.doc)
+        // Meta-boundary metric (reference NotifyAboutMetaBoundary,
+        // Core/Tokenizer.cs:675-678,419-421): a charset-bearing meta the
+        // prescan did not see — i.e. it sits beyond the sniff window — is
+        // flagged even when it agrees with the default and needs no
+        // restart. (Deviation, FIXTURES.md §3: our boundary is the spec's
+        // 1024-byte prescan window, not the reference's 512 bytes.)
+        lateMeta = declared != null
         if (declared != null && declared != sniff.charset) {
           sniff = EncodingSniffer.Sniff(declared, "meta-in-parse", 0)
           html = EncodingSniffer.decode(bytes, sniff)
@@ -78,26 +87,36 @@ object ParseJob {
         quirks_mode = result.quirksMode match {
           case 0 => "no-quirks"; case 1 => "limited-quirks"; case _ => "quirks"
         },
-        restarted = restarted, parse_ok = true, error = null,
+        restarted = restarted, late_meta = lateMeta, parse_ok = true,
+        error = null,
         parse_us = (System.nanoTime() - t0) / 1000)
     } catch {
       case e: Throwable =>
         ExtractedDoc(p.url, p.warc_ts, p.lang, "", "", "", bytes.length, 0, 0,
-          "", restarted = false, parse_ok = false,
+          "", restarted = false, late_meta = false, parse_ok = false,
           error = s"${e.getClass.getSimpleName}: ${e.getMessage}",
           parse_us = (System.nanoTime() - t0) / 1000)
     }
   }
 
+  /** Element budget for the in-parse meta-charset walk: a contradicting
+    * meta buried megabytes deep must NOT force a full re-decode + re-parse
+    * (the reference bounds meta detection; the spec prescan stops at 1024
+    * bytes). A genuine charset meta lives in <head>, always within the
+    * first few dozen elements of document order. */
+  private val MetaWalkBudget = 512
+
   private def findMetaCharset(doc: htmlspark.tree.DomNode): String = {
     import htmlspark.tree.Dom
     var found: String = null
+    var budget = MetaWalkBudget
     def walk(n: htmlspark.tree.DomNode): Unit = {
-      if (found != null || n.children == null) return
+      if (found != null || budget <= 0 || n.children == null) return
       var i = 0
-      while (i < n.children.length && found == null) {
+      while (i < n.children.length && found == null && budget > 0) {
         val c = n.children(i)
         if (c.kind == Dom.ELEMENT) {
+          budget -= 1
           if (c.ns == Dom.NS_HTML && c.name == "meta" && c.attrs != null) {
             val cs = c.attrs.get("charset")
             if (cs != null) found = EncodingSniffer.normalizeLabel(cs)
@@ -138,9 +157,33 @@ object ParseJob {
       .select($"url")
     val singletons = pages
       .join(broadcast(dupUrls), Seq("url"), "left_anti").as[Page]
-    val w = Window.partitionBy($"url").orderBy($"warc_ts".desc)
+    // Total-order tiebreak (xxhash64 of the payload) so ties in
+    // (url, warc_ts) pick the same survivor on every run/engine.
+    val w = Window.partitionBy($"url")
+      .orderBy($"warc_ts".desc, xxhash64($"html").desc)
     val dedupedDups = pages
       .join(broadcast(dupUrls), Seq("url"), "left_semi")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).drop("rn").as[Page]
+    singletons.union(dedupedDups)
+  }
+
+  /** Fallback for when the dup-url set outgrows broadcast (possible at
+    * 10^12 rows with a hostile crawl): same two-join shape with shuffle
+    * joins. The anti/semi joins shuffle (url, payload) once; with a
+    * bucketed-by-url table layout (IcebergishIO writes bucketed in prod)
+    * both joins co-locate and the shuffle disappears entirely. */
+  def dedupLatestNoBroadcast(pages: Dataset[Page]): Dataset[Page] = {
+    import pages.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dupUrls = pages.groupBy($"url")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" > 1)
+      .select($"url")
+    val singletons = pages.join(dupUrls, Seq("url"), "left_anti").as[Page]
+    val w = Window.partitionBy($"url")
+      .orderBy($"warc_ts".desc, xxhash64($"html").desc)
+    val dedupedDups = pages.join(dupUrls, Seq("url"), "left_semi")
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1).drop("rn").as[Page]
     singletons.union(dedupedDups)
@@ -150,7 +193,8 @@ object ParseJob {
   def dedupLatestWindowAll(pages: Dataset[Page]): Dataset[Page] = {
     import pages.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"url").orderBy($"warc_ts".desc)
+    val w = Window.partitionBy($"url")
+      .orderBy($"warc_ts".desc, xxhash64($"html").desc)
     pages.withColumn("rn", row_number().over(w))
       .filter($"rn" === 1).drop("rn").as[Page]
   }
@@ -238,7 +282,10 @@ object ParseJob {
     import pages.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     val parsed = parseAll(saltBySize(pages))
-    val w = Window.partitionBy($"url").orderBy($"warc_ts".desc)
+    // Tiebreak on the extracted bytes: deterministic survivor under
+    // (url, warc_ts) ties regardless of scan/partition order.
+    val w = Window.partitionBy($"url")
+      .orderBy($"warc_ts".desc, xxhash64($"text_extracted").desc)
     parsed.withColumn("rn", row_number().over(w))
       .filter($"rn" === 1).drop("rn").as[ExtractedDoc]
   }
@@ -252,6 +299,7 @@ object ParseJob {
         sum(when(col("parse_ok"), 1L).otherwise(0L)).as("n_ok"),
         sum(when(col("parse_ok"), 0L).otherwise(1L)).as("n_failed"),
         sum(when(col("restarted"), 1L).otherwise(0L)).as("n_restarted"),
+        sum(when(col("late_meta"), 1L).otherwise(0L)).as("n_late_meta"),
         sum(col("n_bytes").cast("long")).as("sum_bytes"),
         sum(col("n_parse_errors").cast("long")).as("sum_errors"),
         min(col("url")).as("min_url"),

@@ -558,6 +558,7 @@ final class TreeBuilder extends TokenSink {
   override def doctype(name: String, publicId: String, systemId: String,
                        forceQuirks: Boolean): Unit = {
     if (stopped) return
+    ignoreLF = false // see startTag: only the NEXT token's LF is skipped
     if (mode == INITIAL) {
       doc.appendChild(DomNode.doctype(name, publicId, systemId))
       quirksMode = decideQuirks(name, publicId, systemId, forceQuirks)
@@ -584,6 +585,7 @@ final class TreeBuilder extends TokenSink {
 
   override def comment(text: String): Unit = {
     if (stopped) return
+    ignoreLF = false // see startTag: only the NEXT token's LF is skipped
     if (mode == IN_TABLE_TEXT) flushTableText()
     mode match {
       case INITIAL | BEFORE_HTML => insertComment(text, doc)
@@ -825,6 +827,11 @@ final class TreeBuilder extends TokenSink {
   // ------------------------------------------------------------------
   override def startTag(name: String, attrs: AttrList, selfClosing: Boolean): Unit = {
     if (stopped) return
+    // The LF-after-<pre>/<listing>/<textarea> skip applies only when the LF
+    // is the IMMEDIATELY next token; any intervening tag/comment/doctype
+    // cancels it (reference needToDropLF resets: Core/TreeBuilder.cs:328,
+    // 399,672,1422). The pre/listing/textarea arms below re-set it.
+    ignoreLF = false
     if (mode == IN_TABLE_TEXT) flushTableText()
     if (!useHtmlRules(isStartTag = true, name, isText = false, isEof = false)) {
       foreignStartTag(name, attrs, selfClosing)
@@ -1431,6 +1438,7 @@ final class TreeBuilder extends TokenSink {
   // ------------------------------------------------------------------
   override def endTag(name: String): Unit = {
     if (stopped) return
+    ignoreLF = false // see startTag: only the NEXT token's LF is skipped
     if (mode == IN_TABLE_TEXT) flushTableText()
     if (!useHtmlRules(isStartTag = false, name, isText = false, isEof = false)) {
       foreignEndTag(name)

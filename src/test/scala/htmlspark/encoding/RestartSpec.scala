@@ -20,6 +20,7 @@ class RestartSpec extends AnyFunSuite {
     val bytes = html.getBytes(java.nio.charset.Charset.forName("windows-1252"))
     val d = ParseJob.parsePage(page(bytes))
     assert(d.restarted, "expected a restart")
+    assert(d.late_meta, "restart implies the meta passed the boundary")
     assert(d.charset == "windows-1252")
     assert(d.charset_source == "meta-in-parse")
     assert(d.text_extracted.contains("café €"))
@@ -31,17 +32,37 @@ class RestartSpec extends AnyFunSuite {
     val bytes = html.getBytes(java.nio.charset.Charset.forName("windows-1252"))
     val d = ParseJob.parsePage(page(bytes))
     assert(!d.restarted)
+    assert(!d.late_meta, "prescan saw the meta → not late")
     assert(d.charset_source == "meta-prescan")
     assert(d.text_extracted.contains("café"))
   }
 
-  test("utf-8 default needs no restart when meta agrees") {
+  test("utf-8 default needs no restart when meta agrees — but the meta " +
+       "boundary metric still fires (reference NotifyAboutMetaBoundary)") {
     val pad = "<!-- " + ("x" * 1500) + " -->"
     val html = s"<!DOCTYPE html><html><head>$pad<meta charset=utf-8>" +
       "</head><body><p>ok</p></body></html>"
     val d = ParseJob.parsePage(page(html.getBytes("UTF-8")))
     assert(!d.restarted)
+    assert(d.late_meta, "meta beyond the prescan window → boundary metric")
     assert(d.charset_source == "default")
+  }
+
+  test("no meta at all → no boundary flag") {
+    val html = "<!DOCTYPE html><html><head><title>T</title></head>" +
+      "<body><p>plain</p></body></html>"
+    val d = ParseJob.parsePage(page(html.getBytes("UTF-8")))
+    assert(!d.late_meta && !d.restarted)
+  }
+
+  test("contradicting meta beyond the walk budget does not force a re-parse") {
+    val sb = new StringBuilder("<!DOCTYPE html><html><head><title>T</title></head><body>")
+    var i = 0
+    while (i < 2000) { sb.append("<div><span>x</span></div>"); i += 1 }
+    sb.append("<meta charset=windows-1252></body></html>")
+    val d = ParseJob.parsePage(page(sb.toString.getBytes("UTF-8")))
+    assert(!d.restarted, "deep stray meta must not trigger a full re-decode")
+    assert(d.charset == "UTF-8")
   }
 
   test("bom wins over any meta") {

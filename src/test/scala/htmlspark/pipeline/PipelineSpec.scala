@@ -96,6 +96,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(0).getTime == orig + 86400000L)
   }
 
+  test("p08 flagship oracle faces agree: parsed plain-article md5/len == " +
+       "template-derived expected (the driver's DuckDB compare shape)") {
+    val dir = "/root/testdata/sf0.001"
+    val n = PagesQueries.sampleN(spark, dir)
+    val actual = PagesQueries.plainTextMd5(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val expected = PagesGen.expectedPlainDocs(spark, n).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(actual.keySet == expected.keySet,
+      s"row sets differ: only-actual=${(actual.keySet -- expected.keySet).take(3)} " +
+        s"only-expected=${(expected.keySet -- actual.keySet).take(3)}")
+    expected.foreach { case (url, e) =>
+      assert(actual(url) == e, s"$url: actual=${actual(url)} expected=$e")
+    }
+    assert(expected.nonEmpty)
+  }
+
   test("per-partition metrics cover every doc and carry lineage ranges") {
     import spark.implicits._
     val docs = ParseJob.run(PagesGen.pages(spark, N))
