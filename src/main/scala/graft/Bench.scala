@@ -53,10 +53,11 @@ object Bench {
       catch { case _: Throwable => () }
     }
     // JIT the parse engine off-Spark (tight loop compiles fastest) ...
+    val engine = new htmlspark.tree.HtmlParser.Engine
     var i = 0L
     while (i < 3000) {
       val p = htmlspark.pipeline.PagesGen.page(i)
-      htmlspark.pipeline.ParseJob.parsePage(p)
+      htmlspark.pipeline.ParseJob.parsePage(p, engine)
       i += 1
     }
     // ... and once through the Spark typed-map path (encoders, task launch).

@@ -52,13 +52,15 @@ object ParseJob {
     * Bounded single restart when a meta-declared charset contradicts the
     * default (reference suspends mid-parse instead:
     * Core/Tokenizer.cs:2056-2059). Total: any byte soup yields a row. */
-  def parsePage(p: Page): ExtractedDoc = {
+  def parsePage(p: Page): ExtractedDoc = parsePage(p, new HtmlParser.Engine)
+
+  def parsePage(p: Page, engine: HtmlParser.Engine): ExtractedDoc = {
     val bytes = if (p.html == null) Array.emptyByteArray else p.html
     val t0 = System.nanoTime()
     try {
       var sniff = EncodingSniffer.sniff(bytes)
       var html = EncodingSniffer.decode(bytes, sniff)
-      var result = HtmlParser.parse(html)
+      var result = engine.parse(html)
       var restarted = false
       var lateMeta = false
       if (sniff.source == EncodingSniffer.SourceDefault) {
@@ -73,7 +75,7 @@ object ParseJob {
         if (declared != null && declared != sniff.charset) {
           sniff = EncodingSniffer.Sniff(declared, "meta-in-parse", 0)
           html = EncodingSniffer.decode(bytes, sniff)
-          result = HtmlParser.parse(html)
+          result = engine.parse(html)
           restarted = true
         }
       }
@@ -225,11 +227,16 @@ object ParseJob {
     small.union(big)
   }
 
-  /** The parse stage: typed Dataset map (mapPartitions so per-partition
-    * metrics ride along without a second pass). */
+  /** The parse stage: typed Dataset map with ONE parser engine per
+    * partition — tokenizer/builder buffers grow to the largest doc in the
+    * partition once, then every row parses allocation-lean (the DOM and
+    * output strings are the only per-row garbage). */
   def parseAll(pages: Dataset[Page]): Dataset[ExtractedDoc] = {
     import pages.sparkSession.implicits._
-    pages.mapPartitions { it => it.map(parsePage) }
+    pages.mapPartitions { it =>
+      val engine = new HtmlParser.Engine
+      it.map(p => parsePage(p, engine))
+    }
   }
 
   /** Single-lineage variant of the salt: every row rides ONE hash

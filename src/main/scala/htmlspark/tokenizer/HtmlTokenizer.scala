@@ -42,7 +42,11 @@ final class CharAcc(initial: Int = 64) {
   * emitted as-is and dropped by the tree builder per the current spec,
   * rather than tokenizer-side U+FFFD.
   */
-final class HtmlTokenizer(sink: TokenSink) {
+final class HtmlTokenizer(private var sink: TokenSink) {
+
+  /** Re-target token delivery (engine reuse: fresh tree builder per doc
+    * over reused tokenizer buffers). */
+  def setSink(s: TokenSink): Unit = sink = s
 
   // ---- states ----
   final val DATA = 0; final val RCDATA = 1; final val RAWTEXT = 2
@@ -112,24 +116,47 @@ final class HtmlTokenizer(sink: TokenSink) {
   private def flushText(): Unit =
     if (pend.n > 0) { sink.characters(pend.a, 0, pend.n); pend.clear() }
 
+  /** Reusable input buffer: with per-partition engine reuse (the reference
+    * reuses per-parser buffers the same way — Core/Tokenizer.cs:462,
+    * Core/HtmlAttributes.cs:474-492) this grows to the largest document
+    * seen and then every subsequent doc decodes with zero buffer allocs.
+    * Safe because nothing downstream retains `buf`: text nodes, attr
+    * values and comments all copy out. */
+  private var work: Array[Char] = new Array[Char](256)
+
   /** Input preprocessing (spec "preprocessing the input stream"):
-    * CRLF → LF, CR → LF. One pass, new array only when a CR exists. */
-  private def preprocess(s: String): Array[Char] = {
+    * CRLF → LF, CR → LF. One pass into the reused buffer; returns the
+    * logical length. */
+  private def preprocessInto(s: String): Int = {
     val n = s.length
+    if (work.length < n) work = new Array[Char](math.max(n, work.length * 2))
+    s.getChars(0, n, work, 0)
     var i = s.indexOf('\r')
-    val out = new Array[Char](n)
-    s.getChars(0, n, out, 0)
-    if (i < 0) return out
+    if (i < 0) return n
     var w = i
     while (i < n) {
-      val c = out(i)
+      val c = work(i)
       if (c == '\r') {
-        out(w) = '\n'; w += 1
-        if (i + 1 < n && out(i + 1) == '\n') i += 1
-      } else { out(w) = c; w += 1 }
+        work(w) = '\n'; w += 1
+        if (i + 1 < n && work(i + 1) == '\n') i += 1
+      } else { work(w) = c; w += 1 }
       i += 1
     }
-    java.util.Arrays.copyOf(out, w)
+    w
+  }
+
+  /** Re-arm for another document (per-partition engine reuse). Buffers
+    * keep their grown capacity; all parse state returns to initial. */
+  def reset(): Unit = {
+    state = DATA
+    pend.clear(); tagName.setLength(0); endTag = false
+    attrs = new AttrList
+    attrName.setLength(0); attrValue.setLength(0)
+    hasAttrValue = false; selfClosing = false; lastStartTag = ""
+    tempBuf.setLength(0); comment.setLength(0)
+    dtName.setLength(0); dtPublic.setLength(0); dtSystem.setLength(0)
+    dtHasName = false; dtHasPublic = false; dtHasSystem = false
+    dtForceQuirks = false
   }
 
   private def cur(): Int = if (pos < len) buf(pos).toInt else EOF
@@ -323,8 +350,8 @@ final class HtmlTokenizer(sink: TokenSink) {
   /** initialState = -1 keeps any state pre-set via setRcdata()/etc.
     * (fragment parsing sets the content model before tokenizing). */
   def tokenize(input: String, initialState: Int = -1): Unit = {
-    buf = preprocess(input)
-    len = buf.length
+    len = preprocessInto(input)
+    buf = work
     pos = 0
     // text output can never exceed input length: pre-size once, no growth
     pend.ensure(len + 16)

@@ -22,6 +22,33 @@ object HtmlParser {
     new Result(tb)
   }
 
+  /** Reusable parser instance for per-partition engine reuse: one Engine
+    * per Spark partition amortizes tokenizer buffers (input work buffer,
+    * pending-text accumulator — both sized to the largest doc seen) and
+    * the builder's stack/AFE backing arrays across every row in the
+    * partition (reference counterpart: per-parser-instance reuse,
+    * Core/Tokenizer.cs:462, Core/HtmlAttributes.cs:474-492).
+    *
+    * NOT thread-safe, and each parse's Result/DOM must be consumed before
+    * the next parse call (exactly the per-row shape of the Dataset map). */
+  final class Engine {
+    private val tok = new HtmlTokenizer(null)
+    def parse(html: String): Result = {
+      // Fresh builder per doc, reused tokenizer: the tokenizer holds the
+      // doc-sized buffers (input work buffer, pending-text accumulator)
+      // that dominate per-parse allocation; the builder is a handful of
+      // small objects whose reuse measured SLOWER (old-gen stack/AFE
+      // arrays holding young DomNodes force card scanning every minor GC
+      // — see BENCH.md §reuse A/B).
+      val tb = new TreeBuilder
+      tb.tokenizer = tok
+      tok.setSink(tb)
+      tok.reset()
+      tok.tokenize(html)
+      new Result(tb)
+    }
+  }
+
   /** Fragment parse per the spec's "parsing HTML fragments" algorithm.
     * `context` may be "svg x" / "math x" for foreign contexts. */
   def parseFragment(html: String, context: String): Result = {
