@@ -39,6 +39,7 @@ object SparkEntry {
     "q20_lsh_bucket_stats" -> ((s, d) => TextOps.minhashBucketStats(s, d)),
     "p01_extract"        -> ((s, d) => PagesQueries.extractPipeline(s, d)),
     "p08_plain_text_md5" -> (PagesQueries.plainTextMd5 _),
+    "p09_doc_meta"       -> (PagesQueries.docMeta _),
     "p02_parse_metrics"  -> (PagesQueries.parseMetrics _),
     "p03_resume"         -> (PagesQueries.resumeRoundTrip _),
     "p04_lineage"        -> (PagesQueries.partitionLineage _),
@@ -153,5 +154,11 @@ object SparkEntry {
     "p08_plain_text_md5" ->
       """SELECT url, text_md5, n_chars
         |FROM read_parquet('/root/repo/target/p08_expected/*.parquet')""".stripMargin,
+    // Encoding/quirks oracle: expected sniff outcomes derived from the
+    // generator template (no parser) — covers BOM, prescan, pragma metas,
+    // the late-meta restart and quirks detection per url.
+    "p09_doc_meta" ->
+      """SELECT url, quirks_mode, charset, charset_source, restarted, late_meta
+        |FROM read_parquet('/root/repo/target/p09_expected/*.parquet')""".stripMargin,
   )
 }

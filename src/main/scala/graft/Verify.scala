@@ -31,16 +31,20 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // Materialize the template-derived expected rows for p08's DuckDB
-    // oracle (fixed path referenced from SparkEntry.oracleSql).
+    // Materialize the template-derived expected rows for the p08/p09
+    // DuckDB oracles (fixed paths referenced from SparkEntry.oracleSql).
     try {
       val n = htmlspark.pipeline.PagesQueries.sampleN(spark, sfDir)
-      val exp = htmlspark.pipeline.PagesGen.expectedPlainDocs(spark, n)
-      exp.orderBy(exp.columns.sorted.map(col).toIndexedSeq: _*)
-        .coalesce(1).write.mode("overwrite")
-        .parquet("/root/repo/target/p08_expected")
+      Seq(
+        "p08_expected" -> htmlspark.pipeline.PagesGen.expectedPlainDocs(spark, n),
+        "p09_expected" -> htmlspark.pipeline.PagesGen.expectedDocMeta(spark, n)
+      ).foreach { case (name, exp) =>
+        exp.orderBy(exp.columns.sorted.map(col).toIndexedSeq: _*)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"/root/repo/target/$name")
+      }
     } catch { case e: Throwable =>
-      System.err.println(s"[verify] p08 expected dump failed: ${e.getMessage}")
+      System.err.println(s"[verify] expected-oracle dump failed: ${e.getMessage}")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

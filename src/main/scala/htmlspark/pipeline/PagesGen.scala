@@ -183,6 +183,38 @@ object PagesGen {
         length(col("expected_text")).cast("long").as("n_chars"))
   }
 
+  /** Template-derived expected parse metadata per url — the encoding/
+    * quirks oracle face (p09). Replicates renderHtml's wrapper decisions
+    * (doctype class, charset class, BOM/prescan/late-meta routing) with NO
+    * sniffing/decoding/parsing involved; a mismatch vs the pipeline means
+    * the encoding subsystem or quirks detection broke.
+    * Columns: url, quirks_mode, charset, charset_source, restarted,
+    * late_meta. One row per url in pages(n) after latest-crawl dedup. */
+  def expectedDocMeta(spark: SparkSession, n: Long): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val nDups = math.max(n / 100, 1)
+    spark.range(0, n, 1, 8)
+      .map { boxed =>
+        val i = boxed.longValue
+        val ci = if (i % 100 == 0 && i / 100 < nDups) i ^ 0xbeef else i
+        val h = mix(ci)
+        val cls = pick(h, 100)
+        val quirks = if (cls >= 86 && cls < 90) "quirks" else "no-quirks"
+        val charsetClass = if (cls >= 93 && cls < 96) pick(mix(h + 18), 5) else -1
+        val (charset, source, restarted, late) = charsetClass match {
+          case 0 => ("UTF-8", "bom", false, false)
+          case 1 => ("UTF-16LE", "bom", false, false)
+          case 2 | 3 => ("windows-1252", "meta-prescan", false, false)
+          case 4 => ("windows-1252", "meta-in-parse", true, true)
+          case _ => ("UTF-8", "meta-prescan", false, false)
+        }
+        (s"https://synth.example/${i % 97}/$i.html", quirks, charset, source,
+          restarted, late)
+      }
+      .toDF("url", "quirks_mode", "charset", "charset_source", "restarted",
+        "late_meta")
+  }
+
   private val BaseEpochMs = 1704067200000L // 2024-01-01T00:00:00Z
 
   def page(i: Long): Page = {

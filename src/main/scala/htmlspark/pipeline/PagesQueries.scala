@@ -44,6 +44,18 @@ object PagesQueries {
         col("n_chars").cast("long").as("n_chars"))
   }
 
+  /** Encoding/quirks ORACLE face (p09): per-url sniff outcome from the
+    * full pipeline, DuckDB-compared against PagesGen.expectedDocMeta
+    * (template-side derivation, no parser). Covers BOM routing, the
+    * 1024-byte prescan, pragma metas, the bounded late-meta restart, and
+    * the doctype quirks decision across every document class. */
+  def docMeta(spark: SparkSession, dir: String): DataFrame = {
+    val n = sampleN(spark, dir)
+    ParseJob.run(PagesGen.pages(spark, n))
+      .select(col("url"), col("quirks_mode"), col("charset"),
+        col("charset_source"), col("restarted"), col("late_meta"))
+  }
+
   /** Stable parse-quality metrics (error counts per quirks/charset class). */
   def parseMetrics(spark: SparkSession, dir: String): DataFrame = {
     val n = math.max(500L, math.min(nPages(spark, dir) / 10, 5000L))

@@ -113,6 +113,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(expected.nonEmpty)
   }
 
+  test("p09 encoding oracle faces agree: pipeline sniff outcomes == " +
+       "template-derived expected for every url") {
+    val dir = "/root/testdata/sf0.001"
+    val n = PagesQueries.sampleN(spark, dir)
+    def key(r: org.apache.spark.sql.Row) =
+      r.getString(0) -> ((r.getString(1), r.getString(2), r.getString(3),
+        r.getBoolean(4), r.getBoolean(5)))
+    val actual = PagesQueries.docMeta(spark, dir).collect().map(key).toMap
+    val expected = PagesGen.expectedDocMeta(spark, n).collect().map(key).toMap
+    assert(actual.keySet == expected.keySet)
+    expected.foreach { case (url, e) =>
+      assert(actual(url) == e, s"$url: actual=${actual(url)} expected=$e")
+    }
+    // every branch of the oracle is actually exercised in the sample
+    val sources = expected.values.map(_._3).toSet
+    assert(sources.contains("bom") && sources.contains("meta-prescan") &&
+      sources.contains("meta-in-parse"), s"sources seen: $sources")
+    assert(expected.values.exists(_._1 == "quirks"))
+  }
+
   test("per-partition metrics cover every doc and carry lineage ranges") {
     import spark.implicits._
     val docs = ParseJob.run(PagesGen.pages(spark, N))
