@@ -77,4 +77,29 @@ object IcebergishIO {
           .as[Page]
     }
   }
+
+  // ------------------------------------------------------------------
+  // Bucketed-by-url layout (the 100 TB resume shape).
+  //
+  // When both the incoming corpus and the committed table are written
+  // bucketed on url with the same bucket count, the resume anti-join (and
+  // the latest-crawl dedup window) need NO shuffle of the payload side —
+  // each bucket joins its committed counterpart in place. In Iceberg this
+  // is `bucket(N, url)` partition transform; here it's Spark's native
+  // bucketBy through the session catalog. BucketedLayoutSpec asserts the
+  // join plan is Exchange-free on the pages side.
+  // ------------------------------------------------------------------
+
+  /** Write a Dataset as a url-bucketed catalog table. */
+  def writeBucketedByUrl[T](ds: Dataset[T], table: String,
+                            buckets: Int = 8): Unit =
+    ds.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "url").sortBy("url")
+      .format("parquet").saveAsTable(table)
+
+  /** Resume anti-join over two url-bucketed tables: shuffle-free. */
+  def resumeFilterBucketed(spark: SparkSession, pagesTable: String,
+                           doneTable: String): DataFrame =
+    spark.table(pagesTable)
+      .join(spark.table(doneTable).select(col("url")), Seq("url"), "left_anti")
 }
