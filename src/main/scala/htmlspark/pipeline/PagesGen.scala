@@ -79,6 +79,9 @@ object PagesGen {
       body.append(s"<script>var a = '<div>${sentence(h + 8, 2)}</div>'; <!--<script>x</script>--></script>")
       body.append(s"<style>p {{ color: red }}</style>")
       body.append(s"<p>${para(h + 9, 2)}</p><textarea>\nkeep ${sentence(h + 10, 2)}</textarea>")
+      // the very common <pre><code>\n shape: the LF follows an intervening
+      // start tag, so it must be KEPT (needToDropLF resets per token)
+      body.append(s"<pre><code>\n${sentence(h + 60, 3)}</code></pre>")
     } else if (cls < 90) { // quirks doctype handled in wrapper below
       body.append(s"<p>${para(h + 11, 2)}</p>")
     } else if (cls < 93) { // foreign content
