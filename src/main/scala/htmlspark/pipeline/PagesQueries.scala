@@ -74,7 +74,10 @@ object PagesQueries {
   }
 
   /** Checkpoint/resume round-trip: commit half the corpus as snapshot 1,
-    * then show the resume anti-join only reprocesses the other half. */
+    * then show the resume anti-join only reprocesses the other half.
+    * Counts are batched into two aggregation jobs (total+committed in one
+    * pass over the deduped corpus, remaining+ok in one pass over the
+    * resumed parse) instead of four sequential count() jobs. */
   def resumeRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val n = 1000L
@@ -83,15 +86,19 @@ object PagesQueries {
     val pages = ParseJob.dedupLatest(PagesGen.pages(spark, n))
     val firstHalf = pages.filter(pmod(xxhash64($"url"), lit(2)) === 0)
     IcebergishIO.commit(ParseJob.parseAll(firstHalf), tableDir)
-    val remaining = IcebergishIO.resumeFilter(pages, tableDir)
-    val parsedRemaining = ParseJob.parseAll(remaining)
-    val out = Seq(
-      ("total", pages.count()),
-      ("committed_snapshot_1", firstHalf.count()),
-      ("remaining_after_resume", remaining.count()),
-      ("parsed_remaining_ok", parsedRemaining.filter($"parse_ok").count())
+    val corpus = pages.agg(
+      count(lit(1)),
+      sum(when(pmod(xxhash64($"url"), lit(2)) === 0, 1L).otherwise(0L))
+    ).collect()(0)
+    val resumed = ParseJob.parseAll(IcebergishIO.resumeFilter(pages, tableDir))
+      .agg(count(lit(1)),
+        sum(when($"parse_ok", 1L).otherwise(0L))).collect()(0)
+    Seq(
+      ("total", corpus.getLong(0)),
+      ("committed_snapshot_1", corpus.getLong(1)),
+      ("remaining_after_resume", resumed.getLong(0)),
+      ("parsed_remaining_ok", resumed.getLong(1))
     ).toDF("stage", "n")
-    out
   }
 
   /** Per-partition lineage metrics of the salted parse (north rule). */
