@@ -111,6 +111,15 @@ object TextOps {
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** Release this session's persisted sketch intermediates (long-lived
+    * sessions that move on to other corpora should call this). */
+  def clearPlanCache(spark: SparkSession): Unit = {
+    val id = System.identityHashCode(spark)
+    planCache.keys.filter(_._1 == id).foreach { k =>
+      planCache.remove(k).foreach(_.unpersist(false))
+    }
+  }
+
   /** (doc_id, minhash signature) via typed map — row-local, no shuffle. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
