@@ -515,7 +515,11 @@ final class TreeBuilder extends TokenSink {
     stack += root
     if (ns == NS_HTML) contextName match {
       case "title" | "textarea" => tokenizer.setRcdata()
-      case "style" | "xmp" | "iframe" | "noembed" | "noframes" | "noscript" =>
+      // noscript is RAWTEXT only when scripting is enabled (reference:
+      // Core/TreeBuilder.cs:372 gates it on IsScriptingEnabled, default
+      // false); this engine never enables scripting → markup inside a
+      // noscript fragment context parses normally.
+      case "style" | "xmp" | "iframe" | "noembed" | "noframes" =>
         tokenizer.setRawtext()
       case "script" => tokenizer.setScriptData()
       case "plaintext" => tokenizer.setPlaintext()
