@@ -37,6 +37,7 @@ object SparkEntry {
     "q18_cosine_topk"    -> ((s, d) => AnnOps.cosineTopK(s, d)),
     "q19_ann_lsh"        -> ((s, d) => AnnOps.annLsh(s, d)),
     "q20_lsh_bucket_stats" -> ((s, d) => TextOps.minhashBucketStats(s, d)),
+    "q21_ngram_jaccard"  -> ((s, d) => TextOps.ngramJaccardExact(s, d)),
     "p01_extract"        -> ((s, d) => PagesQueries.extractPipeline(s, d)),
     "p08_plain_text_md5" -> (PagesQueries.plainTextMd5 _),
     "p09_doc_meta"       -> (PagesQueries.docMeta _),
@@ -146,6 +147,42 @@ object SparkEntry {
         |  CAST(min(len(embedding)) AS BIGINT) AS min_dim,
         |  CAST(max(len(embedding)) AS BIGINT) AS max_dim
         |FROM embeddings GROUP BY 1""".stripMargin,
+    // Brute-force cosine top-k: integer-only output (query_id, neighbor_id,
+    // rank) so the compare is exact; ordering robustness comes from
+    // double-precision cosine on continuous random embeddings (no near-ties).
+    "q18_cosine_topk" ->
+      """SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                                CAST(e.embedding AS DOUBLE[]))
+        |            / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                                     CAST(q.embedding AS DOUBLE[])))
+        |             * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                                     CAST(e.embedding AS DOUBLE[])))) DESC,
+        |        e.vec_id ASC) AS rank
+        |  FROM embeddings e
+        |  JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
+        |    ON e.vec_id <> q.vec_id
+        |) t WHERE rank <= 5""".stripMargin,
+    // Exact character-3-gram Jaccard ground truth on the first 64 docs
+    // (all-pairs audit sample for the LSH pipeline). Integer outputs only.
+    "q21_ngram_jaccard" ->
+      """WITH docs AS (SELECT doc_id, lower(text) AS t
+        |              FROM documents WHERE doc_id < 64),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, CAST(length(t) AS BIGINT) - 1),
+        |                               k -> substr(t, CAST(k AS INT), 3))) AS sh
+        |       FROM docs),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |            count(*) AS n_inter
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_inter, sa.sz AS n_a, sb.sz AS n_b
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b""".stripMargin,
     // Flagship-path oracle: Verify materializes the template-derived
     // expected rows (PagesGen.expectedPlainDocs — parser-independent) to a
     // fixed parquet path; DuckDB reads them back. A mismatch vs the Spark

@@ -203,6 +203,36 @@ object TextOps {
       .withColumn("band16", col("simhash").bitwiseAND(0xFFFFL))
   }
 
+  /** Exact character n-gram Jaccard over a bounded corpus prefix — the
+    * all-pairs ground truth used to audit LSH recall on a sample (the same
+    * role q18 brute-force cosine plays for q19 ANN). Integer outputs
+    * (intersection and set sizes) so the DuckDB oracle compares exactly;
+    * consumers derive jaccard = n_inter / (n_a + n_b - n_inter). The
+    * all-pairs shape is intentional and BOUNDED (`nDocs` docs → ≤nDocs²/2
+    * pairs on one executor's worth of data); corpus-wide near-dup goes
+    * through minhashLshPairs. */
+  def ngramJaccardExact(spark: SparkSession, dir: String,
+                        nDocs: Int = 64, n: Int = 3): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .filter(col("doc_id") < nDocs)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+    val grams = docs.select(col("doc_id"),
+      explode(array_distinct(
+        when(length(col("t")) >= n,
+          transform(sequence(lit(1), length(col("t")) - lit(n - 1)),
+            k => col("t").substr(k, lit(n))))
+          .otherwise(array().cast("array<string>")))).as("sh"))
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = grams.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = grams.select(col("doc_id").as("doc_b"), col("sh"))
+    a.join(b, Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"))
+  }
+
   /** Exact n-gram Jaccard on the LSH candidate pairs only — the expensive
     * set intersection never runs on all pairs. Shares the persisted sketch
     * + shingle subplans with q15; no re-scan of the corpus. */
