@@ -41,6 +41,7 @@ object SparkEntry {
     "p01_extract"        -> ((s, d) => PagesQueries.extractPipeline(s, d)),
     "p08_plain_text_md5" -> (PagesQueries.plainTextMd5 _),
     "p09_doc_meta"       -> (PagesQueries.docMeta _),
+    "p10_table_text_md5" -> (PagesQueries.tableTextMd5 _),
     "p02_parse_metrics"  -> (PagesQueries.parseMetrics _),
     "p03_resume"         -> (PagesQueries.resumeRoundTrip _),
     "p04_lineage"        -> (PagesQueries.partitionLineage _),
@@ -197,5 +198,11 @@ object SparkEntry {
     "p09_doc_meta" ->
       """SELECT url, quirks_mode, charset, charset_source, restarted, late_meta
         |FROM read_parquet('/root/repo/target/p09_expected/*.parquet')""".stripMargin,
+    // Foster-parenting oracle: table-heavy class expected text, template-
+    // derived (PagesGen.tableExpectedText) — the second document class under
+    // the driver's byte-identity gate.
+    "p10_table_text_md5" ->
+      """SELECT url, text_md5, n_chars
+        |FROM read_parquet('/root/repo/target/p10_expected/*.parquet')""".stripMargin,
   )
 }

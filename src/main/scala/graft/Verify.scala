@@ -37,7 +37,8 @@ object Verify {
       val n = htmlspark.pipeline.PagesQueries.sampleN(spark, sfDir)
       Seq(
         "p08_expected" -> htmlspark.pipeline.PagesGen.expectedPlainDocs(spark, n),
-        "p09_expected" -> htmlspark.pipeline.PagesGen.expectedDocMeta(spark, n)
+        "p09_expected" -> htmlspark.pipeline.PagesGen.expectedDocMeta(spark, n),
+        "p10_expected" -> htmlspark.pipeline.PagesGen.expectedTableDocs(spark, n)
       ).foreach { case (name, exp) =>
         exp.orderBy(exp.columns.sorted.map(col).toIndexedSeq: _*)
           .coalesce(1).write.mode("overwrite")

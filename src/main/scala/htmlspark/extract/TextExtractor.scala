@@ -41,6 +41,10 @@ object TextExtractor {
     out.result()
   }
 
+  /** Stack-entry arrays grow geometrically; 64 covers non-adversarial docs
+    * without growth. */
+  private val InitialStack = 64
+
   /** Streaming writer that applies the normalization rule inline — no
     * intermediate buffer, no second pass. */
   private final class Writer(initial: Int) {
@@ -80,22 +84,50 @@ object TextExtractor {
     }
   }
 
-  private def walkW(n: DomNode, out: Writer): Unit = {
-    n.kind match {
-      case Dom.TEXT => out.text(n.text)
-      case Dom.ELEMENT =>
-        if (n.ns == Dom.NS_HTML && SkipJ.contains(n.name)) return
-        if (n.children != null) {
-          var i = 0
-          while (i < n.children.length) { walkW(n.children(i), out); i += 1 }
+  /** In-order walk via an explicit resume-index stack, NOT recursion: a
+    * crawled page can nest elements arbitrarily deep (adversarially or by
+    * accident), and a recursive walk overflows the executor task thread's
+    * ~1 MB stack around ~2k nesting. Text/comment leaves are handled inline
+    * at child-visit time; only container nodes are pushed. */
+  private def walkW(root: DomNode, out: Writer): Unit = {
+    root.kind match {
+      case Dom.TEXT => out.text(root.text); return
+      case Dom.ELEMENT if root.ns == Dom.NS_HTML && SkipJ.contains(root.name) =>
+        return
+      case Dom.ELEMENT | Dom.DOCUMENT => // fall through to the loop
+      case _ => return
+    }
+    var cap = InitialStack
+    var nodes = new Array[DomNode](cap)
+    var idx = new Array[Int](cap)
+    var top = 0
+    nodes(0) = root; idx(0) = 0
+    while (top >= 0) {
+      val n = nodes(top)
+      val i = idx(top)
+      val ch = n.children
+      if (ch != null && i < ch.length) {
+        idx(top) = i + 1
+        val c = ch(i)
+        c.kind match {
+          case Dom.TEXT => out.text(c.text)
+          case Dom.ELEMENT =>
+            if (!(c.ns == Dom.NS_HTML && SkipJ.contains(c.name))) {
+              top += 1
+              if (top == cap) {
+                cap *= 2
+                nodes = java.util.Arrays.copyOf(nodes, cap)
+                idx = java.util.Arrays.copyOf(idx, cap)
+              }
+              nodes(top) = c; idx(top) = 0
+            }
+          case _ => // comment / doctype: no text contribution
         }
-        if (n.ns == Dom.NS_HTML && BlockCloseJ.contains(n.name)) out.newline()
-      case Dom.DOCUMENT =>
-        if (n.children != null) {
-          var i = 0
-          while (i < n.children.length) { walkW(n.children(i), out); i += 1 }
-        }
-      case _ =>
+      } else {
+        if (n.kind == Dom.ELEMENT && n.ns == Dom.NS_HTML &&
+            BlockCloseJ.contains(n.name)) out.newline()
+        top -= 1
+      }
     }
   }
 

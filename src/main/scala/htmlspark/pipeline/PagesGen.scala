@@ -162,6 +162,33 @@ object PagesGen {
     Some(sb.toString)
   }
 
+  /** Independent expected-extraction oracle for the table-heavy class
+    * (60 <= cls < 70) — exercises FOSTER PARENTING in the driver gate: the
+    * template's "misplaced " text sits inside `<table>` before the first
+    * `<tr>`, so tree construction must buffer it as pending table text and
+    * re-parent it BEFORE the table element; each `<td>`/`<tr>`/implied
+    * `<tbody>` close maps to the frozen rule's block newlines with the >2
+    * run collapsed to exactly 2. Derived from the template only. */
+  def tableExpectedText(i: Long): Option[String] = {
+    val h = mix(i)
+    val cls = pick(h, 100)
+    if (cls < 60 || cls >= 70) return None
+    val sb = new java.lang.StringBuilder(512)
+    sb.append(s"Doc $i")       // <title> text, no block boundary after
+    sb.append("misplaced ")    // foster-parented before <table>
+    val nR = 2 + pick(mix(h + 3), 6)
+    var r = 0
+    while (r < nR) {
+      // td close → \n, td close → \n, tr close → 2nd \n; tbody/table
+      // closes after the last row are suppressed by the 2-newline cap
+      sb.append(sentence(mix(h + 10 + r), 3)).append('\n')
+      sb.append(sentence(mix(h + 20 + r), 2)).append("\n\n")
+      r += 1
+    }
+    sb.append("after table")   // trailing p/body newlines stripped
+    Some(sb.toString)
+  }
+
   /** The expected-extraction oracle as a table: (url, text_md5, n_chars)
     * for every plain-article doc the deduped pipeline should emit over
     * pages(n). Mirrors pages(n)'s dup logic — a url re-crawled one day
@@ -169,7 +196,20 @@ object PagesGen {
     * re-crawl, so its expected text comes from the re-crawl's content
     * index. Derived from the template only (plainExpectedText): no
     * tokenizer, tree builder, or extractor on this side. */
-  def expectedPlainDocs(spark: SparkSession, n: Long): org.apache.spark.sql.DataFrame = {
+  def expectedPlainDocs(spark: SparkSession, n: Long): org.apache.spark.sql.DataFrame =
+    expectedDocsBy(spark, n)(plainExpectedText)
+
+  /** Table-heavy-class variant of the expected-docs oracle table (p10):
+    * same dedup-aware url→content mapping, template face tableExpectedText. */
+  def expectedTableDocs(spark: SparkSession, n: Long): org.apache.spark.sql.DataFrame =
+    expectedDocsBy(spark, n)(tableExpectedText)
+
+  /** Shared shape of the per-class expected-docs oracle tables: mirrors
+    * pages(n)'s dup logic — a url re-crawled one day later (every 100th,
+    * content index i ^ 0xbeef) survives latest-crawl dedup as the re-crawl,
+    * so its expected text comes from the re-crawl's content index. */
+  private def expectedDocsBy(spark: SparkSession, n: Long)(
+      expected: Long => Option[String]): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, md5, length}
     val nDups = math.max(n / 100, 1)
@@ -177,7 +217,7 @@ object PagesGen {
       .flatMap { boxed =>
         val i = boxed.longValue
         val contentIdx = if (i % 100 == 0 && i / 100 < nDups) i ^ 0xbeef else i
-        plainExpectedText(contentIdx)
+        expected(contentIdx)
           .map(t => (s"https://synth.example/${i % 97}/$i.html", t))
       }
       .toDF("url", "expected_text")

@@ -44,6 +44,21 @@ object PagesQueries {
         col("n_chars").cast("long").as("n_chars"))
   }
 
+  /** Second flagship ORACLE face (p10): the table-heavy class — every doc
+    * here routes its "misplaced " text through FOSTER PARENTING, so this
+    * gate catches regressions in pending-table-character buffering and
+    * insert-before-table placement that the plain class (p08) never
+    * exercises. Same Verify-written expected-parquet mechanism as p08. */
+  def tableTextMd5(spark: SparkSession, dir: String): DataFrame = {
+    val n = sampleN(spark, dir)
+    ParseJob.run(PagesGen.pages(spark, n))
+      .join(PagesGen.expectedTableDocs(spark, n).select(col("url")),
+        Seq("url"), "left_semi")
+      .select(col("url"),
+        md5(col("text_extracted").cast("binary")).as("text_md5"),
+        col("n_chars").cast("long").as("n_chars"))
+  }
+
   /** Encoding/quirks ORACLE face (p09): per-url sniff outcome from the
     * full pipeline, DuckDB-compared against PagesGen.expectedDocMeta
     * (template-side derivation, no parser). Covers BOM routing, the

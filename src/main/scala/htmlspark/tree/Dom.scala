@@ -129,10 +129,12 @@ object DomNode {
       case Dom.NS_MATHML => "math "
       case _ => ""
     }
-    def walk(n: DomNode, depth: Int): Unit = {
+    // Emits a node's own line(s); returns true if its children should be
+    // descended into (container kinds).
+    def emit(n: DomNode, depth: Int): Boolean = {
       val pad = "| " + ("  " * depth)
       n.kind match {
-        case Dom.DOCUMENT => if (n.children != null) n.children.foreach(walk(_, depth))
+        case Dom.DOCUMENT => true
         case Dom.ELEMENT =>
           sb.append(pad).append('<').append(nsPrefix(n)).append(n.name).append(">\n")
           if (n.attrs != null && n.attrs.size > 0) {
@@ -142,16 +144,12 @@ object DomNode {
               sb.append(pad).append("  ").append(k).append("=\"").append(v).append("\"\n")
             }
           }
-          if (n.contentFragment != null) {
-            sb.append(pad).append("  content\n")
-            if (n.contentFragment.children != null)
-              n.contentFragment.children.foreach(walk(_, depth + 2))
-          }
-          if (n.children != null) n.children.foreach(walk(_, depth + 1))
+          if (n.contentFragment != null) sb.append(pad).append("  content\n")
+          true
         case Dom.TEXT =>
-          sb.append(pad).append('"').append(n.text).append("\"\n")
+          sb.append(pad).append('"').append(n.text).append("\"\n"); false
         case Dom.COMMENT =>
-          sb.append(pad).append("<!-- ").append(n.text).append(" -->\n")
+          sb.append(pad).append("<!-- ").append(n.text).append(" -->\n"); false
         case Dom.DOCTYPE =>
           sb.append(pad).append("<!DOCTYPE ").append(n.name)
           if ((n.publicId != null && n.publicId.nonEmpty) ||
@@ -159,10 +157,41 @@ object DomNode {
             sb.append(" \"").append(Option(n.publicId).getOrElse(""))
               .append("\" \"").append(Option(n.systemId).getOrElse("")).append('"')
           }
-          sb.append(">\n")
+          sb.append(">\n"); false
       }
     }
-    walk(root, startDepth)
+    // Explicit resume-index stack instead of recursion: dump must survive
+    // the same adversarially-deep trees the extractor does (a recursive
+    // walk overflows the JVM stack around ~2k nesting). A template's
+    // content-fragment children are visited before its regular children,
+    // two indent levels deeper (one extra for the "content" pseudo-node).
+    val nodes = new scala.collection.mutable.ArrayBuffer[DomNode](64)
+    val depths = new scala.collection.mutable.ArrayBuffer[Int](64)
+    val idxs = new scala.collection.mutable.ArrayBuffer[Int](64)
+    def push(n: DomNode, depth: Int): Unit =
+      if (emit(n, depth)) { nodes += n; depths += depth; idxs += 0 }
+    push(root, startDepth)
+    while (nodes.nonEmpty) {
+      val li = nodes.length - 1
+      val n = nodes(li); val depth = depths(li); val i = idxs(li)
+      val frag =
+        if (n.kind == Dom.ELEMENT && n.contentFragment != null)
+          n.contentFragment.children
+        else null
+      val fragLen = if (frag == null) 0 else frag.length
+      val chLen = if (n.children == null) 0 else n.children.length
+      if (i < fragLen) {
+        idxs(li) = i + 1
+        push(frag(i), depth + 2)
+      } else if (i < fragLen + chLen) {
+        idxs(li) = i + 1
+        // document children print at the document's own depth
+        val childDepth = if (n.kind == Dom.DOCUMENT) depth else depth + 1
+        push(n.children(i - fragLen), childDepth)
+      } else {
+        nodes.remove(li); depths.remove(li); idxs.remove(li)
+      }
+    }
     sb.toString
   }
 }

@@ -19,4 +19,17 @@ class GeneratorOracleSpec extends AnyFunSuite {
     }
     assert(checked > 1500, s"only $checked plain docs checked")
   }
+
+  test("table-heavy extraction (foster parenting) matches the template oracle") {
+    var checked = 0
+    (0L until 3000L).foreach { i =>
+      PagesGen.tableExpectedText(i).foreach { expected =>
+        val got = ParseJob.parsePage(PagesGen.page(i)).text_extracted
+        assert(got == expected,
+          s"doc $i:\n--- got ---\n${got.take(300)}\n--- want ---\n${expected.take(300)}")
+        checked += 1
+      }
+    }
+    assert(checked > 200, s"only $checked table docs checked")
+  }
 }
