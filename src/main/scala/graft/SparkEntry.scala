@@ -42,6 +42,7 @@ object SparkEntry {
     "p08_plain_text_md5" -> (PagesQueries.plainTextMd5 _),
     "p09_doc_meta"       -> (PagesQueries.docMeta _),
     "p10_table_text_md5" -> (PagesQueries.tableTextMd5 _),
+    "p11_full_text_md5"  -> (PagesQueries.allTextMd5 _),
     "p02_parse_metrics"  -> (PagesQueries.parseMetrics _),
     "p03_resume"         -> (PagesQueries.resumeRoundTrip _),
     "p04_lineage"        -> (PagesQueries.partitionLineage _),
@@ -204,5 +205,11 @@ object SparkEntry {
     "p10_table_text_md5" ->
       """SELECT url, text_md5, n_chars
         |FROM read_parquet('/root/repo/target/p10_expected/*.parquet')""".stripMargin,
+    // FULL-CORPUS byte-identity oracle: template-derived expected text for
+    // every document class (PagesGen.fullExpectedText) — the north rule's
+    // per-row invariant over 100% of the sampled corpus.
+    "p11_full_text_md5" ->
+      """SELECT url, text_md5, n_chars
+        |FROM read_parquet('/root/repo/target/p11_expected/*.parquet')""".stripMargin,
   )
 }

@@ -189,6 +189,66 @@ object PagesGen {
     Some(sb.toString)
   }
 
+  /** Full-corpus expected-extraction oracle: the frozen rule's output for
+    * EVERY document class, derived from the template with no tokenizer /
+    * tree builder / extractor involved. Per class this encodes the parser
+    * semantics the class exercises:
+    *  - plain:        entity expansion, block newlines (plainExpectedText)
+    *  - table:        foster parenting (tableExpectedText)
+    *  - misnested:    adoption agency — `</b>` with no furthest block pops
+    *    b but leaves i in the AFE, so the trailing run is re-parented into
+    *    a reconstructed `<i>` clone; `<a><a>` self-closes via AA; Noah's
+    *    Ark caps the b-run. All inline → text concatenates flat.
+    *  - script/style: skipped subtrees; textarea RCDATA with the LF after
+    *    `<textarea>` dropped (needToDropLF); the `<pre><code>\n` LF KEPT
+    *    (an intervening start tag disarms the drop).
+    *  - quirks:       wrapper only (text face is a plain paragraph)
+    *  - foreign:      svg/math subtrees extract (Skip is HTML-ns-gated),
+    *    CDATA becomes text
+    *  - charset:      BOM/prescan/late-meta decode must round-trip é/€
+    *  - deep:         unclosed div tower; closes collapse to nothing after
+    *    the payload (trailing-newline strip)
+    *  - large:        per-paragraph newlines, &copy;/&hellip; expansion */
+  def fullExpectedText(i: Long): Option[String] = {
+    val h = mix(i)
+    val cls = pick(h, 100)
+    if (cls < 60) return plainExpectedText(i)
+    if (cls < 70) return tableExpectedText(i)
+    val sb = new java.lang.StringBuilder(512)
+    sb.append(s"Doc $i") // <title>, no block boundary after
+    if (cls < 78) { // misnested formatting (adoption agency)
+      sb.append(sentence(h + 4, 3)).append(sentence(h + 5, 3))
+        .append(sentence(h + 6, 2)).append('\n') // </p>
+      sb.append("one").append("two")
+      sb.append(sentence(h + 7, 3)) // trailing body newline stripped
+    } else if (cls < 86) { // script/style/rcdata payloads
+      sb.append(para(h + 9, 2)).append('\n')        // </p>
+      sb.append("keep ").append(sentence(h + 10, 2)) // textarea, LF dropped
+      sb.append('\n')                                // the KEPT pre-code LF
+        .append(sentence(h + 60, 3))   // trailing pre-close \n stripped
+    } else if (cls < 90) { // quirks wrapper, plain paragraph
+      sb.append(para(h + 11, 2))
+    } else if (cls < 93) { // foreign content
+      sb.append("chart")        // svg:title extracts (Skip is HTML-ns only)
+        .append("raw<data")     // CDATA → text
+        .append("x").append("+").append("1") // math mi/mo/mn
+        .append(sentence(h + 12, 4))
+    } else if (cls < 96) { // charset variants: decode must round-trip
+      sb.append("café naïve € ").append(para(h + 13, 2))
+    } else if (cls < 98) { // pathological-deep: unclosed div tower
+      sb.append(sentence(h + 15, 5))
+    } else { // pathological-large: one paragraph per rep
+      val reps = 200 + pick(mix(h + 16), 800)
+      var r = 0
+      while (r < reps) {
+        if (r > 0) sb.append('\n')
+        sb.append(para(mix(h + 17 + r), 2)).append(" © …")
+        r += 1
+      }
+    }
+    Some(sb.toString)
+  }
+
   /** The expected-extraction oracle as a table: (url, text_md5, n_chars)
     * for every plain-article doc the deduped pipeline should emit over
     * pages(n). Mirrors pages(n)'s dup logic — a url re-crawled one day
@@ -203,6 +263,10 @@ object PagesGen {
     * same dedup-aware url→content mapping, template face tableExpectedText. */
   def expectedTableDocs(spark: SparkSession, n: Long): org.apache.spark.sql.DataFrame =
     expectedDocsBy(spark, n)(tableExpectedText)
+
+  /** Full-corpus variant (p11): every url, every document class. */
+  def expectedAllDocs(spark: SparkSession, n: Long): org.apache.spark.sql.DataFrame =
+    expectedDocsBy(spark, n)(fullExpectedText)
 
   /** Shared shape of the per-class expected-docs oracle tables: mirrors
     * pages(n)'s dup logic — a url re-crawled one day later (every 100th,

@@ -59,6 +59,18 @@ object PagesQueries {
         col("n_chars").cast("long").as("n_chars"))
   }
 
+  /** FULL-CORPUS ORACLE face (p11): byte-identity of the extracted text for
+    * EVERY url — the north rule's per-row invariant, driver-checked over
+    * 100% of the corpus (p08/p10 remain as per-class diagnostics that
+    * localize a failure). No join needed: every doc has expected text. */
+  def allTextMd5(spark: SparkSession, dir: String): DataFrame = {
+    val n = sampleN(spark, dir)
+    ParseJob.run(PagesGen.pages(spark, n))
+      .select(col("url"),
+        md5(col("text_extracted").cast("binary")).as("text_md5"),
+        col("n_chars").cast("long").as("n_chars"))
+  }
+
   /** Encoding/quirks ORACLE face (p09): per-url sniff outcome from the
     * full pipeline, DuckDB-compared against PagesGen.expectedDocMeta
     * (template-side derivation, no parser). Covers BOM routing, the

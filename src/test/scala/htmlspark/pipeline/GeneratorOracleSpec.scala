@@ -32,4 +32,17 @@ class GeneratorOracleSpec extends AnyFunSuite {
     }
     assert(checked > 200, s"only $checked table docs checked")
   }
+
+  test("EVERY document class matches the full-corpus template oracle") {
+    var checked = 0
+    (0L until 2000L).foreach { i =>
+      val expected = PagesGen.fullExpectedText(i)
+      assert(expected.isDefined, s"doc $i: no expected text modeled")
+      val got = ParseJob.parsePage(PagesGen.page(i)).text_extracted
+      assert(got == expected.get,
+        s"doc $i (cls exercised differs):\n--- got ---\n${got.take(400)}\n--- want ---\n${expected.get.take(400)}")
+      checked += 1
+    }
+    assert(checked == 2000)
+  }
 }
