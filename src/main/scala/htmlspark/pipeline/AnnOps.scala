@@ -55,45 +55,52 @@ object AnnOps {
       .orderBy("query_id", "rank")
   }
 
-  /** Random-hyperplane LSH bucketing: `nPlanes` sign bits → bucket id.
-    * Hyperplane components are deterministic pseudo-random values derived
-    * from xxhash64(plane, dim) — no RNG, reproducible across runs/executors.
-    * At scale: bucket once, write bucketed; queries probe only their bucket.
-    */
+  /** Multi-table random-hyperplane LSH bucketing: `nTables` independent
+    * sign-bit signatures of `nPlanes` bits each → one (table_id, bucket)
+    * row per vector per table. A neighbor whose per-plane sign-agreement
+    * probability is p is a candidate with probability 1-(1-p^nPlanes)^
+    * nTables — tables buy recall, planes buy bucket sparsity. Hyperplane
+    * components are deterministic pseudo-random values derived from
+    * xxhash64(table*nPlanes+plane, dim): no RNG, reproducible across
+    * runs/executors. At scale: bucket once, write bucketed-by-(table_id,
+    * bucket); queries probe only their buckets. */
   def lshBuckets(spark: SparkSession, dir: String,
-                 nPlanes: Int = 12): DataFrame = {
-    val planeComponent: (Column, Column) => Column = (p, d) =>
-      (pmod(xxhash64(p, d), lit(2000001L)).cast("double") - 1000000.0) / 1000000.0
-    val bucket = aggregate(
-      sequence(lit(0), lit(nPlanes - 1)),
-      lit(0L),
-      (acc, p) => {
-        val proj = aggregate(
-          zip_with(col("embedding"),
-            sequence(lit(0), size(col("embedding")) - 1),
-            (x, d) => x.cast("double") * planeComponent(p, d)),
-          lit(0.0), (a, v) => a + v)
-        when(proj > 0, acc.bitwiseOR(call_function("shiftleft", lit(1L), p))).otherwise(acc)
-      })
+                 nPlanes: Int = 8, nTables: Int = 8): DataFrame = {
+    import spark.implicits._
+    // O(tables × planes × dim) per row → typed-map kernel (Sketches), not
+    // interpreted HOF expressions (measured 4.8s → ~1s warm for q19 at
+    // sf0.1). One kernel call emits every table's bucket.
     table(spark, dir, "embeddings")
-      .select(col("vec_id"), col("label"), col("embedding"),
-        bucket.as("bucket"))
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Array[Float])]
+      .flatMap { case (id, label, emb) =>
+        val bs = Sketches.hyperplaneBuckets(emb, nPlanes, nTables)
+        bs.iterator.zipWithIndex.map { case (b, t) => (id, label, emb, t, b) }
+      }
+      .toDF("vec_id", "label", "embedding", "table_id", "bucket")
   }
 
-  /** LSH-accelerated ANN: score only within-bucket candidate pairs for the
-    * query set, then exact cosine + top-k. The candidate join key is the
-    * compact bucket id — the 100 TB shape.
+  /** LSH-accelerated ANN: probe the query's bucket in each table, union +
+    * dedup candidates, then exact cosine + top-k. The candidate join key is
+    * the compact (table_id, bucket) id — the 100 TB shape (the corpus side
+    * never shuffles; dup candidates collapse before the ranking window).
     */
-  def annLsh(spark: SparkSession, dir: String,
-             nQueries: Int = 8, k: Int = 5): DataFrame = {
-    val bucketed = lshBuckets(spark, dir)
+  def annLsh(spark: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5,
+             nPlanes: Int = 8, nTables: Int = 8): DataFrame = {
+    val bucketed = lshBuckets(spark, dir, nPlanes, nTables)
     val queries = bucketed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"),
-        col("bucket").as("qbucket"))
+        col("table_id").as("qtable"), col("bucket").as("qbucket"))
     val cands = bucketed.join(broadcast(queries),
-        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+        col("table_id") === col("qtable") &&
+          col("bucket") === col("qbucket") &&
+          col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("q"), col("embedding")).as("cos"))
+      // a pair found in several tables scores identically — collapse before
+      // ranking so duplicates can't occupy multiple top-k slots
+      .groupBy("query_id", "neighbor_id")
+      .agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     cands.withColumn("rank", row_number().over(w))

@@ -121,6 +121,38 @@ object Sketches {
     sig
   }
 
+  /** Multi-table random-hyperplane bucket ids for one embedding: table t's
+    * id packs `nPlanes` sign bits of projections onto deterministic
+    * pseudo-random hyperplanes. Component (plane, dim) is a mix64-derived
+    * value in [-1, 1) — no RNG state, identical on every executor/run.
+    * O(nTables × nPlanes × dim) per row: exactly the shape that must be a
+    * primitive loop, not an interpreted higher-order expression. */
+  def hyperplaneBuckets(v: Array[Float], nPlanes: Int, nTables: Int): Array[Long] = {
+    val out = new Array[Long](nTables)
+    val dim = v.length
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var p = 0
+      while (p < nPlanes) {
+        val plane = (t * nPlanes + p).toLong
+        var proj = 0.0
+        var d = 0
+        while (d < dim) {
+          val h = mix64((plane << 32) | d)
+          val c = (Math.floorMod(h, 2000001L) - 1000000L) / 1000000.0
+          proj += v(d) * c
+          d += 1
+        }
+        if (proj > 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    out
+  }
+
   /** Exact Jaccard over two sorted-or-not hash arrays (set semantics). */
   def jaccard(a: Array[Long], b: Array[Long]): Double = {
     if (a.isEmpty && b.isEmpty) return 1.0
