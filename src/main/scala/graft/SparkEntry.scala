@@ -49,6 +49,7 @@ object SparkEntry {
     "p05_throughput"     -> (PagesQueries.throughput _),
     "p06_media_meta"     -> (MultimodalOps.mediaStats _),
     "p07_frame_sample"   -> (MultimodalOps.frameSample _),
+    "p12_media_sniff"    -> (MultimodalOps.mediaSniff _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -211,5 +212,11 @@ object SparkEntry {
     "p11_full_text_md5" ->
       """SELECT url, text_md5, n_chars
         |FROM read_parquet('/root/repo/target/p11_expected/*.parquet')""".stripMargin,
+    // Media sniff oracle: expected type per url derives from the generator
+    // KIND (no sniffer on that side) — a mismatch is a broken magic-byte
+    // detector, not a fixture drift.
+    "p12_media_sniff" ->
+      """SELECT url, media_type, n_bytes
+        |FROM read_parquet('/root/repo/target/p12_expected/*.parquet')""".stripMargin,
   )
 }

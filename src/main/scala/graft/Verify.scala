@@ -39,7 +39,8 @@ object Verify {
         "p08_expected" -> htmlspark.pipeline.PagesGen.expectedPlainDocs(spark, n),
         "p09_expected" -> htmlspark.pipeline.PagesGen.expectedDocMeta(spark, n),
         "p10_expected" -> htmlspark.pipeline.PagesGen.expectedTableDocs(spark, n),
-        "p11_expected" -> htmlspark.pipeline.PagesGen.expectedAllDocs(spark, n)
+        "p11_expected" -> htmlspark.pipeline.PagesGen.expectedAllDocs(spark, n),
+        "p12_expected" -> htmlspark.pipeline.PagesGen.expectedMediaMeta(spark, n)
       ).foreach { case (name, exp) =>
         exp.orderBy(exp.columns.sorted.map(col).toIndexedSeq: _*)
           .coalesce(1).write.mode("overwrite")

@@ -29,6 +29,20 @@ object MultimodalOps {
   final case class Frame(url: String, frame_idx: Int, offset: Int,
                          frame_bytes: Array[Byte])
 
+  /** One media row: opaque blob + its url. The 100 TB table adds typed
+    * metadata columns next to the binary; this is the minimal shape. */
+  final case class MediaRow(url: String, blob: Array[Byte])
+
+  /** Deterministic synthetic media corpus (PagesGen.mediaBlob: real magic
+    * bytes over 7 container kinds). Generation is spark.range → map:
+    * embarrassingly parallel, no shared state. */
+  def mediaCorpus(spark: SparkSession, n: Long,
+                  partitions: Int = 32): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions)
+      .map(i => MediaRow(s"media://synth/$i", PagesGen.mediaBlob(i)))
+  }
+
   /** Magic-byte sniffing — real logic (public file signatures). */
   def sniffMediaType(b: Array[Byte]): String = {
     if (b.length >= 8 &&
@@ -59,13 +73,13 @@ object MultimodalOps {
   }
 
   /** Decode/feature-extract stage: typed Dataset map over binary blobs. */
-  def mediaMeta(pages: Dataset[Page]): Dataset[MediaMeta] = {
-    import pages.sparkSession.implicits._
-    pages.map { p =>
-      val b = if (p.html == null) Array.emptyByteArray else p.html
+  def mediaMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      val b = if (m.blob == null) Array.emptyByteArray else m.blob
       val mt = sniffMediaType(b)
       val (w, h, d, ok) = FakeDecode(mt, b)
-      MediaMeta(p.url, mt, b.length, w, h, d, ok)
+      MediaMeta(m.url, mt, b.length, w, h, d, ok)
     }
   }
 
@@ -73,25 +87,37 @@ object MultimodalOps {
     * frame row (typed flatMap — the Generator/UDTF shape without a custom
     * Catalyst Generator). Frame count bounded to keep the row blowup
     * explicit and predictable. */
-  def sampleFrames(pages: Dataset[Page], everyBytes: Int = 4096,
+  def sampleFrames(media: Dataset[MediaRow], everyBytes: Int = 512,
                    maxFrames: Int = 16): Dataset[Frame] = {
-    import pages.sparkSession.implicits._
-    pages.flatMap { p =>
-      val b = if (p.html == null) Array.emptyByteArray else p.html
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val b = if (m.blob == null) Array.emptyByteArray else m.blob
       val n = math.min(maxFrames, math.max(b.length / everyBytes, 1))
       (0 until n).iterator.map { i =>
         val off = i * everyBytes
         val end = math.min(off + 64, b.length) // stub: 64-byte "frame"
-        Frame(p.url, i, off, java.util.Arrays.copyOfRange(b, math.min(off, b.length), end))
+        Frame(m.url, i, off, java.util.Arrays.copyOfRange(b, math.min(off, b.length), end))
       }
     }
   }
 
+  /** Per-url sniff outcome over the media corpus — the ORACLE face (p12):
+    * the expected side (PagesGen.expectedMediaMeta) derives media_type from
+    * the generator's kind with no sniffing involved, so a mismatch means
+    * the magic-byte detection itself broke. */
+  def mediaSniff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = PagesQueries.sampleN(spark, dir)
+    mediaCorpus(spark, n)
+      .map(m => (m.url, sniffMediaType(m.blob), m.blob.length.toLong))
+      .toDF("url", "media_type", "n_bytes")
+  }
+
   /** Driver-contract query: media metadata stats over the synthesized
-    * corpus (binary blobs = the pages' html bytes standing in for media). */
+    * media corpus (real magic bytes across 7 container kinds). */
   def mediaStats(spark: SparkSession, dir: String): DataFrame = {
     val n = math.max(500L, math.min(PagesQueries.nPages(spark, dir) / 10, 5000L))
-    mediaMeta(PagesGen.pages(spark, n))
+    mediaMeta(mediaCorpus(spark, n))
       .groupBy("media_type", "decode_ok")
       .agg(count(lit(1)).as("n"),
         sum(col("n_bytes").cast("long")).as("sum_bytes"),
@@ -104,7 +130,7 @@ object MultimodalOps {
   def frameSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val n = 1000L
-    sampleFrames(PagesGen.pages(spark, n))
+    sampleFrames(mediaCorpus(spark, n))
       .groupBy("url")
       .agg(count(lit(1)).as("n_frames"),
         max(col("offset")).cast("long").as("max_offset"))

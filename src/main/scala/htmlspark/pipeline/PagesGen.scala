@@ -322,6 +322,70 @@ object PagesGen {
         "late_meta")
   }
 
+  // ---------------------------------------------------------------------
+  // Synthetic media corpus: blobs with REAL container magic bytes so the
+  // multimodal sniffing path is meaningfully exercised (the html-bytes
+  // stand-in sniffs everything as octet-stream). Kind and length are
+  // deterministic per index; the p12 oracle derives the expected type from
+  // the KIND directly — no sniffing on the expected side.
+  // ---------------------------------------------------------------------
+
+  /** 0=png 1=jpeg 2=gif 3=mp4 4=wav 5=mp3 6=no-magic. */
+  def mediaKind(i: Long): Int = pick(mix(i ^ 0x3ed1aL), 7)
+
+  def mediaTypeName(kind: Int): String = kind match {
+    case 0 => "image/png"
+    case 1 => "image/jpeg"
+    case 2 => "image/gif"
+    case 3 => "video/mp4"
+    case 4 => "audio/wav"
+    case 5 => "audio/mpeg"
+    case _ => "application/octet-stream"
+  }
+
+  def mediaLen(i: Long): Int = 256 + pick(mix(mix(i ^ 0x3ed1aL) + 1), 4096)
+
+  /** Deterministic pseudo-random payload with the kind's magic stamped over
+    * a zeroed 12-byte header (zeroed so filler bytes can never counterfeit
+    * an earlier signature in the sniff order). */
+  def mediaBlob(i: Long): Array[Byte] = {
+    val len = mediaLen(i)
+    val b = new Array[Byte](len)
+    var z = mix(i ^ 0x3ed1aL)
+    var j = 12
+    while (j < len) {
+      z = mix(z)
+      var k = 0
+      while (k < 8 && j < len) { b(j) = ((z >>> (k * 8)) & 0xFF).toByte; j += 1; k += 1 }
+    }
+    mediaKind(i) match {
+      case 0 =>
+        b(0) = 0x89.toByte; b(1) = 'P'; b(2) = 'N'; b(3) = 'G'
+        b(4) = '\r'; b(5) = '\n'; b(6) = 0x1A; b(7) = '\n'
+      case 1 => b(0) = 0xFF.toByte; b(1) = 0xD8.toByte; b(2) = 0xFF.toByte
+      case 2 => b(0) = 'G'; b(1) = 'I'; b(2) = 'F'; b(3) = '8'; b(4) = '9'; b(5) = 'a'
+      case 3 => b(4) = 'f'; b(5) = 't'; b(6) = 'y'; b(7) = 'p'
+      case 4 =>
+        b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+        b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
+      case 5 => b(0) = 'I'; b(1) = 'D'; b(2) = '3'
+      case _ => // zeroed header: no signature
+    }
+    b
+  }
+
+  /** Template-derived expected sniff outcome per media url (p12 oracle):
+    * type comes from the generator's kind, NOT from running the sniffer. */
+  def expectedMediaMeta(spark: SparkSession, n: Long): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, 8)
+      .map { boxed =>
+        val i = boxed.longValue
+        (s"media://synth/$i", mediaTypeName(mediaKind(i)), mediaLen(i).toLong)
+      }
+      .toDF("url", "media_type", "n_bytes")
+  }
+
   private val BaseEpochMs = 1704067200000L // 2024-01-01T00:00:00Z
 
   def page(i: Long): Page = {
