@@ -65,17 +65,22 @@ object AnnOps {
     * runs/executors. At scale: bucket once, write bucketed-by-(table_id,
     * bucket); queries probe only their buckets. */
   def lshBuckets(spark: SparkSession, dir: String,
-                 nPlanes: Int = 8, nTables: Int = 8): DataFrame = {
-    import spark.implicits._
+                 nPlanes: Int = 8, nTables: Int = 8): DataFrame =
+    bucketsOf(table(spark, dir, "embeddings"), nPlanes, nTables)
+
+  /** Bucket any (vec_id, embedding, label) frame. Filters on the input must
+    * be applied BEFORE this call: the typed kernel is opaque to Catalyst,
+    * so a later filter cannot be pushed below it. */
+  private def bucketsOf(emb: DataFrame, nPlanes: Int, nTables: Int): DataFrame = {
+    import emb.sparkSession.implicits._
     // O(tables × planes × dim) per row → typed-map kernel (Sketches), not
     // interpreted HOF expressions (measured 4.8s → ~1s warm for q19 at
     // sf0.1). One kernel call emits every table's bucket.
-    table(spark, dir, "embeddings")
-      .select(col("vec_id"), col("label"), col("embedding"))
+    emb.select(col("vec_id"), col("label"), col("embedding"))
       .as[(Long, Int, Array[Float])]
-      .flatMap { case (id, label, emb) =>
-        val bs = Sketches.hyperplaneBuckets(emb, nPlanes, nTables)
-        bs.iterator.zipWithIndex.map { case (b, t) => (id, label, emb, t, b) }
+      .flatMap { case (id, label, e) =>
+        val bs = Sketches.hyperplaneBuckets(e, nPlanes, nTables)
+        bs.iterator.zipWithIndex.map { case (b, t) => (id, label, e, t, b) }
       }
       .toDF("vec_id", "label", "embedding", "table_id", "bucket")
   }
@@ -88,7 +93,11 @@ object AnnOps {
   def annLsh(spark: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5,
              nPlanes: Int = 8, nTables: Int = 8): DataFrame = {
     val bucketed = lshBuckets(spark, dir, nPlanes, nTables)
-    val queries = bucketed.filter(col("vec_id") < nQueries)
+    // query side: filter BEFORE the bucket kernel so the scan prunes to
+    // nQueries rows instead of re-kerneling the whole corpus
+    val queries = bucketsOf(
+        table(spark, dir, "embeddings").filter(col("vec_id") < nQueries),
+        nPlanes, nTables)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"),
         col("table_id").as("qtable"), col("bucket").as("qbucket"))
     val cands = bucketed.join(broadcast(queries),
