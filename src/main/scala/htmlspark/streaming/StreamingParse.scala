@@ -19,6 +19,18 @@ object StreamingParse {
     pages.map(ParseJob.parsePage)
   }
 
+  /** Streaming url dedup bounded by the watermark — the ingestion-time
+    * analogue of the batch latest-crawl dedup: source re-deliveries and
+    * re-crawls of the same url arriving within the lateness window collapse
+    * to one parse. State is bounded (keys expire with the watermark); at
+    * 10^12-url scale the state store hash-partitions by url across
+    * executors, so this shuffles only (url, warc_ts), never html bytes —
+    * place it BEFORE the parse stage. */
+  def dedupStream(pages: Dataset[Page], lateness: String = "1 hour"): Dataset[Page] =
+    pages
+      .withWatermark("warc_ts", lateness)
+      .dropDuplicatesWithinWatermark("url")
+
   /** Watermarked per-window parse metrics: 10-minute event-time windows on
     * warc_ts, 1-hour lateness tolerance. Append-mode-compatible (aggregate
     * keyed by the watermarked window). */

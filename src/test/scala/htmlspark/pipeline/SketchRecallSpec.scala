@@ -62,6 +62,27 @@ class SketchRecallSpec extends AnyFunSuite {
         missed.take(5).mkString(", "))
   }
 
+  test("SimHash hamming distance separates near-dups from background") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val sh = docs.map { case (id, t) => id -> Sketches.simhash64(t) }.toMap
+    val sets = docs.map { case (id, t) => (id, Sketches.shingleHashes(t, 5)) }
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    var nearSum = 0; var nearN = 0; var farSum = 0; var farN = 0
+    for (i <- sets.indices; j <- (i + 1) until sets.length) {
+      val jac = Sketches.jaccard(sets(i)._2, sets(j)._2)
+      val h = ham(sh(sets(i)._1), sh(sets(j)._1))
+      if (jac >= 0.9) { nearSum += h; nearN += 1 }
+      else if (jac <= 0.2) { farSum += h; farN += 1 }
+    }
+    assert(nearN > 0 && farN > 0, "fixture lacks near or far pairs")
+    val nearMean = nearSum.toDouble / nearN
+    val farMean = farSum.toDouble / farN
+    assert(nearMean < farMean / 2,
+      f"simhash separation too weak: near=$nearMean%.1f far=$farMean%.1f")
+  }
+
   test("ANN-LSH recall floor vs brute-force cosine top-k") {
     import spark.implicits._
     val brute = AnnOps.cosineTopK(spark, dir, nQueries = 8, k = 5)

@@ -49,6 +49,29 @@ class StreamingParseSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming url dedup within watermark collapses re-deliveries") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[htmlspark.pipeline.Page]
+    val docs = StreamingParse.parseStream(
+      StreamingParse.dedupStream(input.toDS()))
+    val q = docs.select($"url").writeStream
+      .format("memory")
+      .queryName("dedup_out")
+      .outputMode("append")
+      .start()
+    try {
+      // 50 urls, each delivered 3x (same url+ts re-delivery) in one batch
+      val pages = (0L until 50L).map(PagesGen.page)
+      input.addData(pages ++ pages ++ pages)
+      q.processAllAvailable()
+      val n = spark.sql("select count(*) c, count(distinct url) d from dedup_out")
+        .collect()(0)
+      assert(n.getLong(0) == 50L, s"expected 50 deduped rows, got ${n.getLong(0)}")
+      assert(n.getLong(1) == 50L)
+    } finally q.stop()
+  }
+
   test("incremental crawl ingestion: file source + checkpoint restart " +
        "processes each batch exactly once") {
     import spark.implicits._
