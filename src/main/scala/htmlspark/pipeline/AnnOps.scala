@@ -91,13 +91,28 @@ object AnnOps {
     * never shuffles; dup candidates collapse before the ranking window).
     */
   def annLsh(spark: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5,
-             nPlanes: Int = 8, nTables: Int = 8): DataFrame = {
+             nPlanes: Int = 8, nTables: Int = 8,
+             multiProbe: Boolean = false): DataFrame = {
     val bucketed = lshBuckets(spark, dir, nPlanes, nTables)
     // query side: filter BEFORE the bucket kernel so the scan prunes to
     // nQueries rows instead of re-kerneling the whole corpus
-    val queries = bucketsOf(
+    val qBase = bucketsOf(
         table(spark, dir, "embeddings").filter(col("vec_id") < nQueries),
         nPlanes, nTables)
+    // Multi-probe: also probe every bucket at Hamming distance 1 from the
+    // query's bucket (flip each sign bit once). Probes multiply only the
+    // (tiny, broadcast) QUERY side by nPlanes+1 — the corpus-side bucketed
+    // index is untouched, so equal recall costs half the tables/index
+    // footprint vs adding tables.
+    val qProbed =
+      if (!multiProbe) qBase
+      else qBase.select(col("vec_id"), col("embedding"), col("table_id"),
+        explode(concat(array(col("bucket")),
+          transform(sequence(lit(0), lit(nPlanes - 1)),
+            p => col("bucket").bitwiseXOR(
+              call_function("shiftleft", lit(1L), p.cast("int"))))))
+          .as("bucket"))
+    val queries = qProbed
       .select(col("vec_id").as("query_id"), col("embedding").as("q"),
         col("table_id").as("qtable"), col("bucket").as("qbucket"))
     val cands = bucketed.join(broadcast(queries),

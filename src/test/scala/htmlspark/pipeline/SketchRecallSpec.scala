@@ -100,5 +100,15 @@ class SketchRecallSpec extends AnyFunSuite {
     // 1.0 by construction. The floor pins "bucketing works at all" without
     // flaking on hash specifics (deterministic fixture + hashes).
     assert(recall >= 0.5, f"ANN recall $recall%.2f below floor 0.50")
+
+    // multi-probe with HALF the tables must reach at least the same recall:
+    // probing Hamming-1 buckets substitutes for index footprint.
+    val annMp = AnnOps.annLsh(spark, dir, nQueries = 8, k = 5,
+        nPlanes = 4, nTables = 4, multiProbe = true)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recallMp = (brute & annMp).size.toDouble / brute.size
+    assert(recallMp >= recall,
+      f"multi-probe recall $recallMp%.2f below single-probe $recall%.2f")
   }
 }
