@@ -116,7 +116,8 @@ object MultimodalOps {
   /** Driver-contract query: media metadata stats over the synthesized
     * media corpus (real magic bytes across 7 container kinds). */
   def mediaStats(spark: SparkSession, dir: String): DataFrame = {
-    val n = math.max(500L, math.min(PagesQueries.nPages(spark, dir) / 10, 5000L))
+    // same sampling policy as the p12 oracle face — one source of truth
+    val n = PagesQueries.sampleN(spark, dir)
     mediaMeta(mediaCorpus(spark, n))
       .groupBy("media_type", "decode_ok")
       .agg(count(lit(1)).as("n"),

@@ -19,11 +19,22 @@ object PagesQueries {
   def sampleN(spark: SparkSession, dir: String, cap: Long = 5000): Long =
     math.max(500L, math.min(nPages(spark, dir) / 10, cap))
 
+  /** One parsed sample corpus per (session, dir, cap), persisted and shared
+    * by every p-face (p01/p02/p04/p08–p11): without this each face re-runs
+    * the full dedup→salt→parse pipeline — the same N× redundancy the LSH
+    * plan cache removes for the sketch subplans. p05 (the throughput
+    * workhorse) deliberately stays un-cached and full-corpus. */
+  private def parsedSample(spark: SparkSession, dir: String,
+                           cap: Long = 5000): DataFrame =
+    PlanCache.getOrBuild(spark, s"parsed:$dir:$cap") {
+      ParseJob.run(PagesGen.pages(spark, sampleN(spark, dir, cap))).toDF
+    }
+
   /** Flagship: full extraction pipeline (dedup → salt → parse). No embedded
     * global sort — determinism ordering is applied by the Verify wrapper;
     * pipeline consumers at scale take the rows unordered. */
   def extractPipeline(spark: SparkSession, dir: String, cap: Long = 5000): DataFrame =
-    ParseJob.run(PagesGen.pages(spark, sampleN(spark, dir, cap)))
+    parsedSample(spark, dir, cap)
       .select(col("url"), md5(col("text_extracted").cast("binary")).as("text_md5"),
         col("n_chars"), col("n_parse_errors"), col("quirks_mode"),
         col("charset"), col("charset_source"), col("restarted"), col("parse_ok"))
@@ -36,7 +47,7 @@ object PagesQueries {
     * a hash mismatch means the parser chain broke the §2.6 invariant. */
   def plainTextMd5(spark: SparkSession, dir: String): DataFrame = {
     val n = sampleN(spark, dir)
-    ParseJob.run(PagesGen.pages(spark, n))
+    parsedSample(spark, dir)
       .join(PagesGen.expectedPlainDocs(spark, n).select(col("url")),
         Seq("url"), "left_semi")
       .select(col("url"),
@@ -51,7 +62,7 @@ object PagesQueries {
     * exercises. Same Verify-written expected-parquet mechanism as p08. */
   def tableTextMd5(spark: SparkSession, dir: String): DataFrame = {
     val n = sampleN(spark, dir)
-    ParseJob.run(PagesGen.pages(spark, n))
+    parsedSample(spark, dir)
       .join(PagesGen.expectedTableDocs(spark, n).select(col("url")),
         Seq("url"), "left_semi")
       .select(col("url"),
@@ -63,30 +74,25 @@ object PagesQueries {
     * EVERY url — the north rule's per-row invariant, driver-checked over
     * 100% of the corpus (p08/p10 remain as per-class diagnostics that
     * localize a failure). No join needed: every doc has expected text. */
-  def allTextMd5(spark: SparkSession, dir: String): DataFrame = {
-    val n = sampleN(spark, dir)
-    ParseJob.run(PagesGen.pages(spark, n))
+  def allTextMd5(spark: SparkSession, dir: String): DataFrame =
+    parsedSample(spark, dir)
       .select(col("url"),
         md5(col("text_extracted").cast("binary")).as("text_md5"),
         col("n_chars").cast("long").as("n_chars"))
-  }
 
   /** Encoding/quirks ORACLE face (p09): per-url sniff outcome from the
     * full pipeline, DuckDB-compared against PagesGen.expectedDocMeta
     * (template-side derivation, no parser). Covers BOM routing, the
     * 1024-byte prescan, pragma metas, the bounded late-meta restart, and
     * the doctype quirks decision across every document class. */
-  def docMeta(spark: SparkSession, dir: String): DataFrame = {
-    val n = sampleN(spark, dir)
-    ParseJob.run(PagesGen.pages(spark, n))
+  def docMeta(spark: SparkSession, dir: String): DataFrame =
+    parsedSample(spark, dir)
       .select(col("url"), col("quirks_mode"), col("charset"),
         col("charset_source"), col("restarted"), col("late_meta"))
-  }
 
   /** Stable parse-quality metrics (error counts per quirks/charset class). */
   def parseMetrics(spark: SparkSession, dir: String): DataFrame = {
-    val n = math.max(500L, math.min(nPages(spark, dir) / 10, 5000L))
-    ParseJob.run(PagesGen.pages(spark, n))
+    parsedSample(spark, dir)
       .groupBy("quirks_mode", "charset_source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_parse_errors").cast("long")).as("sum_errors"),
@@ -130,8 +136,8 @@ object PagesQueries {
 
   /** Per-partition lineage metrics of the salted parse (north rule). */
   def partitionLineage(spark: SparkSession, dir: String): DataFrame = {
-    val n = math.max(500L, math.min(nPages(spark, dir) / 10, 5000L))
-    val docs = ParseJob.run(PagesGen.pages(spark, n))
+    import spark.implicits._
+    val docs = parsedSample(spark, dir).as[ExtractedDoc]
     ParseJob.metrics(docs)
       .agg(count(lit(1)).as("n_partitions"),
         sum("n_docs").as("n_docs"),

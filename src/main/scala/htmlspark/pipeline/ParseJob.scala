@@ -288,13 +288,24 @@ object ParseJob {
   def runParseFirst(pages: Dataset[Page]): Dataset[ExtractedDoc] = {
     import pages.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val parsed = parseAll(saltBySize(pages))
-    // Tiebreak on the extracted bytes: deterministic survivor under
-    // (url, warc_ts) ties regardless of scan/partition order.
-    val w = Window.partitionBy($"url")
-      .orderBy($"warc_ts".desc, xxhash64($"text_extracted").desc)
+    // Tiebreak on xxhash64(html) — the SAME value the dedup-first
+    // strategies order by — computed before the parse and carried through
+    // it, so all strategies pick the same survivor under (url, warc_ts)
+    // ties (hashing text_extracted here would also leave markup-only
+    // differences unresolved: identical text, nondeterministic survivor).
+    val withTie = saltBySize(pages)
+      .select(struct($"url", $"warc_ts", $"html", $"text", $"lang").as("p"),
+        xxhash64($"html").as("tie"))
+      .as[(Page, Long)]
+    val parsed = withTie.mapPartitions { it =>
+      val engine = new HtmlParser.Engine
+      it.map { case (p, tie) => (parsePage(p, engine), tie) }
+    }.toDF("doc", "tie")
+    val w = Window.partitionBy($"doc.url")
+      .orderBy($"doc.warc_ts".desc, $"tie".desc)
     parsed.withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1).drop("rn").as[ExtractedDoc]
+      .filter($"rn" === 1)
+      .select($"doc.*").as[ExtractedDoc]
   }
 
   /** Per-partition lineage/metrics over an extracted Dataset (second,

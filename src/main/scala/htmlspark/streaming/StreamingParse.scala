@@ -19,13 +19,17 @@ object StreamingParse {
     pages.map(ParseJob.parsePage)
   }
 
-  /** Streaming url dedup bounded by the watermark — the ingestion-time
-    * analogue of the batch latest-crawl dedup: source re-deliveries and
-    * re-crawls of the same url arriving within the lateness window collapse
-    * to one parse. State is bounded (keys expire with the watermark); at
-    * 10^12-url scale the state store hash-partitions by url across
-    * executors, so this shuffles only (url, warc_ts), never html bytes —
-    * place it BEFORE the parse stage. */
+  /** Streaming url dedup bounded by the watermark: collapses source
+    * RE-DELIVERIES (at-least-once transports) of the same url to one parse,
+    * keeping the FIRST arrival — dropDuplicatesWithinWatermark semantics.
+    * NOTE: this is deliberately NOT the batch latest-crawl rule; a genuine
+    * re-crawl with newer content arriving inside the window is dropped
+    * here and reconciled by the batch dedupLatest compaction downstream
+    * (latest-wins in streaming would need flatMapGroupsWithState and
+    * watermark-delayed emission). State is bounded (keys expire with the
+    * watermark); at 10^12-url scale the state store hash-partitions by url
+    * across executors — place this BEFORE the parse stage so duplicate
+    * html bytes are dropped, not parsed. */
   def dedupStream(pages: Dataset[Page], lateness: String = "1 hour"): Dataset[Page] =
     pages
       .withWatermark("warc_ts", lateness)

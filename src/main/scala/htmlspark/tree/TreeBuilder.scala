@@ -31,7 +31,7 @@ final class TreeBuilder extends TokenSink {
 
   var tokenizer: HtmlTokenizer = _
 
-  var doc: DomNode = DomNode.document()
+  val doc: DomNode = DomNode.document()
   private val stack = new ArrayBuffer[DomNode](32)
   /** active formatting entries; null = marker */
   private val afe = new ArrayBuffer[DomNode](8)
@@ -61,21 +61,6 @@ final class TreeBuilder extends TokenSink {
   // pending table character tokens (IN_TABLE_TEXT)
   private val pendingTableText = new java.lang.StringBuilder(16)
   private var pendingTableHasNonWs = false
-
-  /** Re-arm this builder for another document (per-partition engine reuse;
-    * reference counterpart: per-parser-instance buffer/attribute reuse,
-    * Core/HtmlAttributes.cs:474-492, Core/Tokenizer.cs:462). Collections
-    * keep their grown backing arrays; all parse state returns to initial. */
-  def reset(): Unit = {
-    doc = DomNode.document()
-    stack.clear(); afe.clear(); templateModes.clear()
-    mode = INITIAL; originalMode = INITIAL
-    headElem = null; formElem = null
-    framesetOk = true; ignoreLF = false; fosterParenting = false
-    quirksMode = NO_QUIRKS; nErrors = 0; errorCodes.clear()
-    fragmentContext = null; stopped = false; openPCount = 0
-    pendingTableText.setLength(0); pendingTableHasNonWs = false
-  }
 
   override def parseError(code: String): Unit = {
     nErrors += 1
