@@ -96,6 +96,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(0).getTime == orig + 86400000L)
   }
 
+  test("all three run strategies pick the SAME survivor under " +
+       "(url, warc_ts) ties with different html") {
+    import spark.implicits._
+    // 40 urls, each with THREE crawls at an identical timestamp but
+    // different html (different content index) — only the xxhash64(html)
+    // tie-break decides the survivor, on every strategy.
+    val ts = new java.sql.Timestamp(1704067200000L)
+    val tied = spark.createDataset((0L until 40L).flatMap { u =>
+      Seq(0x1000, 0x2000, 0x3000).map { off =>
+        Page(s"https://tied.example/$u", ts, PagesGen.renderHtml(u + off), "", "en")
+      }
+    })
+    def survivors(strategy: String): Map[String, (String, Int)] =
+      ParseJob.run(tied, strategy)
+        .select($"url",
+          org.apache.spark.sql.functions.md5($"text_extracted".cast("binary")),
+          $"n_bytes")
+        .as[(String, String, Int)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val parseFirst = survivors("parse-first")
+    val rescan = survivors("rescan")
+    val shuffle = survivors("shuffle")
+    assert(parseFirst.size == 40)
+    assert(parseFirst == rescan,
+      s"parse-first vs rescan differ on ${(parseFirst.toSet diff rescan.toSet).take(3)}")
+    assert(parseFirst == shuffle)
+  }
+
   test("p08 flagship oracle faces agree: parsed plain-article md5/len == " +
        "template-derived expected (the driver's DuckDB compare shape)") {
     val dir = "/root/testdata/sf0.001"
