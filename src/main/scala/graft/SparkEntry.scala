@@ -50,6 +50,7 @@ object SparkEntry {
     "p06_media_meta"     -> (MultimodalOps.mediaStats _),
     "p07_frame_sample"   -> (MultimodalOps.frameSample _),
     "p12_media_sniff"    -> (MultimodalOps.mediaSniff _),
+    "p13_token_profile"  -> (PagesQueries.tokenProfile _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -218,5 +219,18 @@ object SparkEntry {
     "p12_media_sniff" ->
       """SELECT url, media_type, n_bytes
         |FROM read_parquet('/root/repo/target/p12_expected/*.parquet')""".stripMargin,
+    // Token-profile oracle: DuckDB runs the SAME class regexes over the
+    // template-derived expected text — parse+extract+tokenize end-to-end.
+    "p13_token_profile" ->
+      """SELECT url,
+        |  CAST(len(regexp_extract_all(expected_text, '[A-Za-z]+')) AS BIGINT)
+        |    AS n_words,
+        |  CAST(len(regexp_extract_all(expected_text, '[0-9]+')) AS BIGINT)
+        |    AS n_nums,
+        |  CAST(len(regexp_extract_all(expected_text, '[.,!?;:&]')) AS BIGINT)
+        |    AS n_punct,
+        |  CAST(len(regexp_extract_all(expected_text, '[^\x00-\x7F]')) AS BIGINT)
+        |    AS n_nonascii
+        |FROM read_parquet('/root/repo/target/p13_expected/*.parquet')""".stripMargin,
   )
 }

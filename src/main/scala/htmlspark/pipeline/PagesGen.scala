@@ -268,6 +268,23 @@ object PagesGen {
   def expectedAllDocs(spark: SparkSession, n: Long): org.apache.spark.sql.DataFrame =
     expectedDocsBy(spark, n)(fullExpectedText)
 
+  /** (url, expected_text) with the raw expected text kept — the p13 oracle
+    * runs its token regexes over THIS in DuckDB, so the token-profile
+    * operator is checked end-to-end (parse + extract + tokenize) without
+    * the oracle ever touching the engine. */
+  def expectedTextDocs(spark: SparkSession, n: Long): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val nDups = math.max(n / 100, 1)
+    spark.range(0, n, 1, 8)
+      .flatMap { boxed =>
+        val i = boxed.longValue
+        val contentIdx = if (i % 100 == 0 && i / 100 < nDups) i ^ 0xbeef else i
+        fullExpectedText(contentIdx)
+          .map(t => (s"https://synth.example/${i % 97}/$i.html", t))
+      }
+      .toDF("url", "expected_text")
+  }
+
   /** Shared shape of the per-class expected-docs oracle tables: mirrors
     * pages(n)'s dup logic — a url re-crawled one day later (every 100th,
     * content index i ^ 0xbeef) survives latest-crawl dedup as the re-crawl,

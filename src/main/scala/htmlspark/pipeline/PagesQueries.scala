@@ -80,6 +80,24 @@ object PagesQueries {
         md5(col("text_extracted").cast("binary")).as("text_md5"),
         col("n_chars").cast("long").as("n_chars"))
 
+  /** BPE-ish token profile over the EXTRACTED text (p13): class-regex
+    * token counts — word runs, number runs, ASCII punctuation, non-ASCII —
+    * the cheap pre-tokenization signal a training pipeline thresholds on.
+    * Oracle: DuckDB runs the same regexes over the template-derived
+    * expected text (class-based ASCII patterns mean Java regex and RE2
+    * agree), so this face checks parse + extract + tokenize end-to-end. */
+  def tokenProfile(spark: SparkSession, dir: String): DataFrame =
+    parsedSample(spark, dir)
+      .select(col("url"),
+        regexp_count(col("text_extracted"), lit("[A-Za-z]+"))
+          .cast("long").as("n_words"),
+        regexp_count(col("text_extracted"), lit("[0-9]+"))
+          .cast("long").as("n_nums"),
+        regexp_count(col("text_extracted"), lit("[.,!?;:&]"))
+          .cast("long").as("n_punct"),
+        regexp_count(col("text_extracted"), lit("[^\\x00-\\x7F]"))
+          .cast("long").as("n_nonascii"))
+
   /** Encoding/quirks ORACLE face (p09): per-url sniff outcome from the
     * full pipeline, DuckDB-compared against PagesGen.expectedDocMeta
     * (template-side derivation, no parser). Covers BOM routing, the
