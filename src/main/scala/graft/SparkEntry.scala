@@ -38,6 +38,7 @@ object SparkEntry {
     "q19_ann_lsh"        -> ((s, d) => AnnOps.annLsh(s, d)),
     "q20_lsh_bucket_stats" -> ((s, d) => TextOps.minhashBucketStats(s, d)),
     "q21_ngram_jaccard"  -> ((s, d) => TextOps.ngramJaccardExact(s, d)),
+    "q22_winnow_pairs"   -> ((s, d) => TextOps.winnowPairs(s, d)),
     "p01_extract"        -> ((s, d) => PagesQueries.extractPipeline(s, d)),
     "p08_plain_text_md5" -> (PagesQueries.plainTextMd5 _),
     "p09_doc_meta"       -> (PagesQueries.docMeta _),

@@ -121,6 +121,56 @@ object Sketches {
     sig
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): the
+    * minimum shingle hash in each sliding window of `w` consecutive k-gram
+    * hashes, deduplicated. Guarantees: any shared substring of length
+    * ≥ w + k - 1 yields at least one SHARED fingerprint between two
+    * documents — the primitive for partial/substring-duplication detection,
+    * which whole-document sketches (MinHash/SimHash) cannot see. Rightmost
+    * minimum per window (standard robust winnowing tie rule). */
+  def winnow(text: String, k: Int, w: Int): Array[Long] = {
+    val n = text.length
+    if (n < k) return Array(mix64(n.toLong))
+    val m = n - k + 1 // k-gram hash count
+    val hs = new Array[Long](m)
+    var h = 0L
+    var pow = 1L
+    val P = 1099511628211L
+    var j = 0
+    while (j < k - 1) { pow *= P; j += 1 }
+    var i = 0
+    while (i < n) {
+      val c = Character.toLowerCase(text.charAt(i)).toLong
+      if (i >= k) h -= Character.toLowerCase(text.charAt(i - k)).toLong * pow
+      h = h * P + c
+      if (i >= k - 1) hs(i - k + 1) = mix64(h)
+      i += 1
+    }
+    if (m <= w) { // one window
+      var min = hs(0); var p = 1
+      while (p < m) { if (hs(p) <= min) min = hs(p); p += 1 }
+      return Array(min)
+    }
+    val out = new java.util.LinkedHashSet[java.lang.Long](32)
+    // O(m) sliding minimum via monotonic deque of indices; rightmost min
+    // (<= comparison keeps later equal values at the back)
+    val dq = new Array[Int](m)
+    var head = 0; var tail = 0 // [head, tail)
+    var p = 0
+    while (p < m) {
+      while (tail > head && hs(dq(tail - 1)) >= hs(p)) tail -= 1
+      dq(tail) = p; tail += 1
+      if (dq(head) <= p - w) head += 1
+      if (p >= w - 1) out.add(hs(dq(head)))
+      p += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var wv = 0
+    while (it.hasNext) { arr(wv) = it.next(); wv += 1 }
+    arr
+  }
+
   /** Multi-table random-hyperplane bucket ids for one embedding: table t's
     * id packs `nPlanes` sign bits of projections onto deterministic
     * pseudo-random hyperplanes. Component (plane, dim) is a mix64-derived

@@ -198,6 +198,44 @@ object TextOps {
       .withColumn("band16", col("simhash").bitwiseAND(0xFFFFL))
   }
 
+  // guarantee = W + K - 1 = 35 chars ≈ 6 words: short enough to catch real
+  // boilerplate/quotation, long enough that chance vocabulary collisions
+  // don't flood the pair space
+  private val WinnowK = 12
+  private val WinnowW = 24
+
+  /** Partial-duplication candidate pairs via winnowing fingerprints
+    * (Sketches.winnow): two docs sharing ≥ `minShared` fingerprints share,
+    * with the winnowing guarantee, substrings of length ≥ WinnowW+WinnowK-1
+    * — boilerplate, quoted passages, stitched documents. This is the
+    * primitive whole-document sketches (MinHash/SimHash) cannot see: a 10%
+    * overlap barely moves whole-doc jaccard but lights up here. Same
+    * compact shuffle shape as the LSH pipeline: (fp, doc_id) rows only,
+    * degenerate fingerprints (ubiquitous boilerplate) capped at MaxBucket
+    * exactly like band buckets. */
+  def winnowPairs(spark: SparkSession, dir: String,
+                  minShared: Int = 8): DataFrame = {
+    val fps = cachedPlan(spark, dir, "winnow") {
+      import spark.implicits._
+      table(spark, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, t) =>
+          Sketches.winnow(t, WinnowK, WinnowW).iterator.map(fp => (fp, id)) }
+        .toDF("fp", "doc_id")
+    }
+    val sizes = fps.groupBy("fp")
+      .agg(count(lit(1)).as("fp_n"))
+      .filter(col("fp_n") > 1 && col("fp_n") <= MaxBucket)
+    val bounded = fps.join(sizes.select("fp"), Seq("fp"))
+    val a = bounded.select(col("fp"), col("doc_id").as("doc_a"))
+    val b = bounded.select(col("fp"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Exact character n-gram Jaccard over a bounded corpus prefix — the
     * all-pairs ground truth used to audit LSH recall on a sample (the same
     * role q18 brute-force cosine plays for q19 ANN). Integer outputs
