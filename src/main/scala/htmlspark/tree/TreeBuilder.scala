@@ -514,6 +514,10 @@ final class TreeBuilder extends TokenSink {
     if (ns == NS_HTML && contextName == "template") {
       templateModes += IN_TEMPLATE
     }
+    // Spec fragment step: the form element pointer is the nearest form
+    // ancestor of the context, including the context itself — so a nested
+    // <form> start tag inside a form fragment is ignored.
+    if (ns == NS_HTML && contextName == "form") formElem = fragmentContext
     resetInsertionMode()
   }
 
