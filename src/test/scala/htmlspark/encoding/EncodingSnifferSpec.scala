@@ -39,6 +39,46 @@ class EncodingSnifferSpec extends AnyFunSuite {
     }
   }
 
+  test("undeclared legacy bytes default to windows-1252 (never U+FFFD)") {
+    val html = "<!DOCTYPE html><p>dash — euro € café</p>"
+    val bytes = html.getBytes(java.nio.charset.Charset.forName("windows-1252"))
+    val s = EncodingSniffer.sniff(bytes)
+    assert(s.charset == "windows-1252" && s.source == EncodingSniffer.SourceDefault)
+    val text = EncodingSniffer.decode(bytes, s)
+    assert(!text.contains('�'))
+    assert(text.contains("dash — euro € café"))
+  }
+
+  test("undeclared valid utf-8 (non-ASCII) keeps the utf-8 default") {
+    val bytes = "<!DOCTYPE html><p>café € 日本</p>"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val s = EncodingSniffer.sniff(bytes)
+    assert(s.charset == "UTF-8" && s.source == EncodingSniffer.SourceDefault)
+    assert(EncodingSniffer.decode(bytes, s).contains("café €"))
+  }
+
+  test("strict utf-8 validity: overlongs, surrogates, truncation reject") {
+    def v(bs: Int*) = EncodingSniffer.looksLikeUtf8(bs.map(_.toByte).toArray)
+    assert(v('a', 'b'))
+    assert(v(0xC3, 0xA9))                 // é
+    assert(v(0xF0, 0x9F, 0x98, 0x80))     // astral
+    assert(!v(0xC0, 0xAF))                // overlong '/'
+    assert(!v(0xE0, 0x80, 0xAF))          // overlong 3-byte
+    assert(!v(0xED, 0xA0, 0x80))          // surrogate
+    assert(!v(0xF4, 0x90, 0x80, 0x80))    // > U+10FFFF
+    assert(!v(0xC3))                      // truncated
+    assert(!v(0x97))                      // bare win-1252 em dash
+  }
+
+  test("windows-1252 decode is total: the 5 JDK-unmapped bytes map to C1") {
+    val bytes = Array(0x80, 0x81, 0x8D, 0x8F, 0x90, 0x9D, 0x97, 0x41)
+      .map(_.toByte)
+    val text = EncodingSniffer.decodeWindows1252(bytes, 0)
+    assert(text == new String(Array(0x20AC, 0x0081, 0x008D, 0x008F,
+      0x0090, 0x009D, 0x2014, 'A'.toInt).map(_.toChar)))
+    assert(!text.contains('�'))
+  }
+
   test("prescan finds charset only inside the 1024-byte window") {
     val pad = "<!-- " + ("x" * 1100) + " -->"
     val late = (pad + "<meta charset=windows-1252>")

@@ -12,18 +12,33 @@ class RestartSpec extends AnyFunSuite {
   private def page(bytes: Array[Byte]) =
     Page("u", new java.sql.Timestamp(0), bytes, "", "")
 
-  test("late meta charset triggers one restart and correct decoding") {
+  test("late meta agreeing with the windows-1252 default: no restart, " +
+       "boundary metric fires, bytes decode clean") {
     val pad = "<!-- " + ("x" * 1500) + " -->"
     val html = s"<!DOCTYPE html><html><head>$pad" +
       "<meta charset=windows-1252><title>T</title></head>" +
       "<body><p>café €</p></body></html>"
     val bytes = html.getBytes(java.nio.charset.Charset.forName("windows-1252"))
     val d = ParseJob.parsePage(page(bytes))
+    assert(!d.restarted, "default sniff already landed on windows-1252")
+    assert(d.late_meta, "the meta passed the prescan boundary")
+    assert(d.charset == "windows-1252")
+    assert(d.charset_source == "default")
+    assert(d.text_extracted.contains("café €"))
+  }
+
+  test("late CONTRADICTING meta (ascii bytes → utf-8 default, declared " +
+       "windows-1252) triggers exactly one restart") {
+    val pad = "<!-- " + ("x" * 1500) + " -->"
+    val html = s"<!DOCTYPE html><html><head>$pad" +
+      "<meta charset=windows-1252><title>T</title></head>" +
+      "<body><p>plain ascii body</p></body></html>"
+    val d = ParseJob.parsePage(page(html.getBytes("US-ASCII")))
     assert(d.restarted, "expected a restart")
     assert(d.late_meta, "restart implies the meta passed the boundary")
     assert(d.charset == "windows-1252")
     assert(d.charset_source == "meta-in-parse")
-    assert(d.text_extracted.contains("café €"))
+    assert(d.text_extracted.contains("plain ascii body"))
   }
 
   test("early meta charset is caught by prescan, no restart") {

@@ -33,6 +33,22 @@ class GeneratorOracleSpec extends AnyFunSuite {
     assert(checked > 200, s"only $checked table docs checked")
   }
 
+  test("doc meta (charset/source/restart/late/quirks) matches the template " +
+       "oracle and all 8 charset classes occur") {
+    val seenClasses = scala.collection.mutable.Set.empty[(String, String, Boolean, Boolean)]
+    (0L until 3000L).foreach { i =>
+      val (quirks, charset, source, restarted, late) = PagesGen.expectedMetaFor(i)
+      val d = ParseJob.parsePage(PagesGen.page(i))
+      assert((d.quirks_mode, d.charset, d.charset_source, d.restarted, d.late_meta) ==
+        ((quirks, charset, source, restarted, late)), s"doc $i")
+      seenClasses += ((charset, source, restarted, late))
+    }
+    // bom×2, prescan×2 (win-1252 + the default utf-8 meta), late-agreeing
+    // default, undeclared legacy default, restart, undeclared utf-8
+    assert(seenClasses.size >= 8, s"only ${seenClasses.size} distinct " +
+      s"charset outcomes exercised: $seenClasses")
+  }
+
   test("EVERY document class matches the full-corpus template oracle") {
     var checked = 0
     (0L until 2000L).foreach { i =>
