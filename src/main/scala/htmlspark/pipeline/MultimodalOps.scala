@@ -124,7 +124,6 @@ object MultimodalOps {
         sum(col("n_bytes").cast("long")).as("sum_bytes"),
         min(col("width")).cast("long").as("min_w"),
         max(col("width")).cast("long").as("max_w"))
-      .orderBy("media_type")
   }
 
   /** Driver-contract query: frame-sampling fan-out shape. */

@@ -121,7 +121,6 @@ object PagesQueries {
           .as("parse_us_p50"),
         percentile_approx(col("parse_us"), lit(0.99), lit(1000))
           .as("parse_us_p99"))
-      .orderBy("quirks_mode", "charset_source")
   }
 
   /** Checkpoint/resume round-trip: commit half the corpus as snapshot 1,

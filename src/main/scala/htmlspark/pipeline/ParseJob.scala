@@ -27,18 +27,20 @@ final case class ExtractedDoc(
     parse_us: Long)
 
 /** Per-partition lineage + metrics row (north rule: "per-partition lineage
-  * + parse-error metrics"). */
+  * + parse-error metrics"). Kept in sync with `ParseJob.metrics` by the
+  * encoder: metrics() returns Dataset[PartitionMetrics], so a drifted
+  * field fails at analysis time rather than silently. */
 final case class PartitionMetrics(
     partition_id: Int,
     n_docs: Long,
     n_ok: Long,
     n_failed: Long,
     n_restarted: Long,
+    n_late_meta: Long,
     sum_bytes: Long,
     sum_errors: Long,
     min_url: String,
-    max_url: String,
-    elapsed_ms: Long)
+    max_url: String)
 
 /** The extraction pipeline: pages → (dedup latest) → skew-salted
   * repartition → per-row parse via typed Dataset map → extracted docs (+
@@ -310,7 +312,8 @@ object ParseJob {
 
   /** Per-partition lineage/metrics over an extracted Dataset (second,
     * cheap aggregation pass — partial aggregation map-side). */
-  def metrics(docs: Dataset[ExtractedDoc]): DataFrame = {
+  def metrics(docs: Dataset[ExtractedDoc]): Dataset[PartitionMetrics] = {
+    import docs.sparkSession.implicits._
     docs.groupBy(spark_partition_id().as("partition_id"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -322,5 +325,6 @@ object ParseJob {
         sum(col("n_parse_errors").cast("long")).as("sum_errors"),
         min(col("url")).as("min_url"),
         max(col("url")).as("max_url"))
+      .as[PartitionMetrics]
   }
 }

@@ -20,24 +20,46 @@ private[pipeline] object PlanCache {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
-  // Unique id per live session, held weakly: SparkSession doesn't override
-  // equals, so WeakHashMap keys by identity — two live sessions can never
-  // share an id (identityHashCode can collide; Spark's own sessionUUID is
-  // private[sql]), and a collected session's entry vanishes with it.
+  // Unique id per live session. SparkSession doesn't override equals, so
+  // the WeakHashMap keys by identity — two live sessions can never share
+  // an id (identityHashCode can collide; Spark's own sessionUUID is
+  // private[sql]). NOTE the weak key does NOT make entries self-cleaning:
+  // a cached DataFrame strongly references its session through
+  // QueryExecution, so the key stays reachable while its entries live
+  // (ADVICE r2). Entries are released by clear(), by the Verify/Bench
+  // teardown call, or — backstop for long-lived multi-session processes —
+  // by the application-end listener registered on first use.
   private val ids = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, String]())
   private def sessionId(spark: SparkSession): String =
-    ids.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
+    ids.computeIfAbsent(spark, s => {
+      val id = java.util.UUID.randomUUID().toString
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          clearById(id)
+      })
+      id
+    })
 
   def getOrBuild(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
     cache.getOrElseUpdate((sessionId(spark), key),
       build.persist(StorageLevel.MEMORY_AND_DISK))
 
   /** Unpersist and drop this session's entries. */
-  def clear(spark: SparkSession): Unit = {
+  def clear(spark: SparkSession): Unit = clearById(sessionId(spark))
+
+  /** Number of live entries for this session (observability + specs). */
+  def size(spark: SparkSession): Int = {
     val id = sessionId(spark)
-    cache.keys.filter(_._1 == id).foreach { k =>
-      cache.remove(k).foreach(_.unpersist(false))
-    }
+    cache.keys.count(_._1 == id)
   }
+
+  private def clearById(id: String): Unit =
+    cache.keys.filter(_._1 == id).foreach { k =>
+      cache.remove(k).foreach { df =>
+        // unpersist is a no-op risk after context stop — never throw here
+        try df.unpersist(false) catch { case _: Throwable => () }
+      }
+    }
 }

@@ -165,10 +165,11 @@ class PipelineSpec extends AnyFunSuite {
     import spark.implicits._
     val docs = ParseJob.run(PagesGen.pages(spark, N))
     val m = ParseJob.metrics(docs).collect()
-    assert(m.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    assert(m.map(_.n_docs).sum == docs.count())
     m.foreach { r =>
-      assert(r.getAs[String]("min_url") <= r.getAs[String]("max_url"))
-      assert(r.getAs[Long]("n_ok") + r.getAs[Long]("n_failed") == r.getAs[Long]("n_docs"))
+      assert(r.min_url <= r.max_url)
+      assert(r.n_ok + r.n_failed == r.n_docs)
+      assert(r.n_late_meta >= 0 && r.n_late_meta <= r.n_docs)
     }
   }
 }
