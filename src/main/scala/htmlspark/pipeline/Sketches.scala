@@ -130,12 +130,21 @@ object Sketches {
     * minimum per window (standard robust winnowing tie rule). */
   def winnow(text: String, k: Int, w: Int): Array[Long] = {
     val n = text.length
-    if (n < k) return Array(mix64(n.toLong))
+    val P = 1099511628211L
+    if (n < k) {
+      // Sub-k text: fingerprint the CONTENT (whole-string polyhash), not
+      // the length — a length-derived fp made any two equal-length short
+      // docs spurious partial-dup candidates (ADVICE r2). Empty → no fps.
+      if (n == 0) return Array.emptyLongArray
+      var h = 0L
+      var i = 0
+      while (i < n) { h = h * P + Character.toLowerCase(text.charAt(i)).toLong; i += 1 }
+      return Array(mix64(h))
+    }
     val m = n - k + 1 // k-gram hash count
     val hs = new Array[Long](m)
     var h = 0L
     var pow = 1L
-    val P = 1099511628211L
     var j = 0
     while (j < k - 1) { pow *= P; j += 1 }
     var i = 0

@@ -50,6 +50,16 @@ class WinnowSpec extends AnyFunSuite {
     assert(n > windows / (W + 1) / 2, s"density too low: $n")
   }
 
+  test("sub-k text fingerprints derive from content, not length (ADVICE r2)") {
+    val a = Sketches.winnow("short", K, W)
+    val b = Sketches.winnow("other", K, W) // same length, different content
+    val c = Sketches.winnow("SHORT", K, W) // same content modulo case
+    assert(a.length == 1 && b.length == 1)
+    assert(a(0) != b(0), "equal-length short docs must NOT share a fp")
+    assert(a(0) == c(0), "case-insensitive like the k-gram hash")
+    assert(Sketches.winnow("", K, W).isEmpty, "empty text → no fingerprints")
+  }
+
   test("distributed winnowPairs matches in-JVM recomputation") {
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -75,11 +85,23 @@ class WinnowSpec extends AnyFunSuite {
     val got = TextOps.winnowPairs(spark, dir, minShared = 2)
       .as[(Long, Long, Long)].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
-    // the operator drops fps in over-cap buckets; at this corpus size no
-    // fp bucket exceeds MaxBucket=1000, so the sets must agree exactly
+    // the operator drops fps above WinnowMaxDf=64; this corpus has fewer
+    // docs than the cap, so no fp can exceed it → sets must agree exactly
     assert(got == expected,
       s"pair sets differ: only-got=${(got.keySet -- expected.keySet).take(3)} " +
         s"only-expected=${(expected.keySet -- got.keySet).take(3)}")
     assert(expected.nonEmpty, "fixture has no partial-dup pairs — vacuous")
+
+    // stats face over the same persisted fp subplan: one row whose counts
+    // reconcile with the in-JVM fingerprint multiset
+    val stats = TextOps.winnowFpStats(spark, dir).collect()(0)
+    val dfCounts = sets.iterator.flatMap(_._2).toSeq.groupBy(identity)
+      .view.mapValues(_.size).toMap
+    assert(stats.getAs[Long]("n_fps") == dfCounts.size)
+    assert(stats.getAs[Long]("n_candidate_fps") ==
+      dfCounts.valuesIterator.count(c => c > 1 && c <= TextOps.WinnowMaxDf))
+    assert(stats.getAs[Long]("n_dropped_fps") ==
+      dfCounts.valuesIterator.count(_ > TextOps.WinnowMaxDf))
+    assert(stats.getAs[Long]("max_fp_n") == dfCounts.valuesIterator.max)
   }
 }
