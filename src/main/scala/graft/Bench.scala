@@ -35,6 +35,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Teardown honors the PlanCache contract (persisted sample corpus +
+    // sketch intermediates are session-scoped, not process-scoped).
+    htmlspark.pipeline.TextOps.clearPlanCache(spark)
     spark.stop()
   }
 

@@ -1,0 +1,193 @@
+package graft
+
+import scala.collection.mutable
+
+/** Independently-coded NAIVE re-implementations of the sketch-kernel
+  * DEFINITIONS (the definitions live in htmlspark.pipeline.Sketches'
+  * scaladoc; none of its code is shared): direct per-position polynomial
+  * hashing instead of rolling updates, per-window linear minimum scans
+  * instead of the monotonic deque, regex tokenization + fold hashing
+  * instead of hand-rolled scanning. Used ONLY by Verify to materialize
+  * expected parquet for the driver's DuckDB gate — a differential oracle
+  * in the ExtractorDifferentialSpec mold: a bug in the production kernels'
+  * incremental machinery (rolling-hash subtraction, the winnow deque,
+  * buffer reuse) surfaces as a driver-visible hash mismatch, while a bug
+  * in the shared definition itself stays caught by the property/recall
+  * specs (SketchRecallSpec audits LSH against exact all-pairs Jaccard).
+  *
+  * Everything here is driver-bounded BY DESIGN: it runs once per Verify
+  * invocation over the sampled sf corpus (≤ a few thousand docs), never
+  * inside an operator.
+  */
+object OracleKernels {
+
+  private val P = 1099511628211L
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 ^ (z0 >>> 33)
+    z *= 0xFF51AFD7ED558CCDL
+    z ^= z >>> 33
+    z *= 0xC4CEB9FE1A85EC53L
+    z ^ (z >>> 33)
+  }
+
+  /** Whole-string lowercase polyhash (the sub-k fallback both kernels use). */
+  private def wholeHash(t: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < t.length) {
+      h = h * P + Character.toLowerCase(t.charAt(i)).toLong
+      i += 1
+    }
+    h
+  }
+
+  /** k-gram hash at position i by direct O(k) accumulation — no rolling. */
+  private def gramHash(t: String, i: Int, k: Int): Long = {
+    var h = 0L
+    var j = 0
+    while (j < k) {
+      h = h * P + Character.toLowerCase(t.charAt(i + j)).toLong
+      j += 1
+    }
+    mix64(h)
+  }
+
+  def shingleSet(text: String, k: Int): Set[Long] = {
+    val n = text.length
+    if (n == 0) return Set(0L)
+    if (n < k) return Set(mix64(wholeHash(text)))
+    (0 to n - k).iterator.map(i => gramHash(text, i, k)).toSet
+  }
+
+  def minhashSig(shingles: Set[Long], numPerm: Int): IndexedSeq[Long] =
+    (1 to numPerm).map { p =>
+      val seed = mix64(0x9E3779B97F4A7C15L * p)
+      shingles.iterator.map(h => mix64(h ^ seed)).min
+    }
+
+  def bandKeys(sig: IndexedSeq[Long], bandSize: Int): IndexedSeq[Long] =
+    (0 until sig.length / bandSize).map { b =>
+      sig.slice(b * bandSize, (b + 1) * bandSize)
+        .foldLeft(mix64(b + 0x7F4A7C15L))((h, v) => mix64(h ^ v))
+    }
+
+  /** Robust winnowing by per-window LINEAR minimum scan, rightmost tie. */
+  def winnowSet(text: String, k: Int, w: Int): Set[Long] = {
+    val n = text.length
+    if (n == 0) return Set.empty
+    if (n < k) return Set(mix64(wholeHash(text)))
+    val hs = Array.tabulate(n - k + 1)(i => gramHash(text, i, k))
+    val m = hs.length
+    if (m <= w) return Set(hs.min)
+    (0 to m - w).iterator.map { start =>
+      var best = start
+      var j = start + 1
+      while (j < start + w) {
+        if (hs(j) <= hs(best)) best = j
+        j += 1
+      }
+      hs(best)
+    }.toSet
+  }
+
+  /** SimHash over letter-or-digit token runs (regex split + fold hash). */
+  def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    "[\\p{L}\\p{Nd}]+".r.findAllIn(text).foreach { tok =>
+      val th = mix64(tok.foldLeft(0xCBF29CE484222325L)(
+        (h, c) => (h ^ Character.toLowerCase(c).toLong) * P))
+      var b = 0
+      while (b < 64) {
+        if (((th >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    (0 until 64).foldLeft(0L)((sig, b) =>
+      if (counts(b) > 0) sig | (1L << b) else sig)
+  }
+
+  // -------------------------------------------------------------------
+  // Expected result sets for the driver gate, computed from the naive
+  // kernels with the operators' published parameters.
+  // -------------------------------------------------------------------
+
+  private def sortedPairs(ids: Seq[Long]): Iterator[(Long, Long)] = {
+    val s = ids.sorted
+    for {
+      i <- s.indices.iterator
+      j <- (i + 1 until s.length).iterator
+    } yield (s(i), s(j))
+  }
+
+  /** q15: docs sharing any in-cap LSH band bucket, distinct pairs. */
+  def expectedLshPairs(docs: Seq[(Long, String)], numPerm: Int, bandSize: Int,
+                       shingleK: Int, maxBucket: Int): Seq[(Long, Long)] = {
+    val bandRows = docs.flatMap { case (id, t) =>
+      bandKeys(minhashSig(shingleSet(t, shingleK), numPerm), bandSize)
+        .zipWithIndex.map { case (key, b) => ((b, key), id) }
+    }
+    bandRows.groupBy(_._1).valuesIterator
+      .filter(g => g.size > 1 && g.size <= maxBucket)
+      .flatMap(g => sortedPairs(g.map(_._2)))
+      .toSet.toSeq
+  }
+
+  /** q20: the one-row bucket-stats face over the same band rows. */
+  def expectedLshStats(docs: Seq[(Long, String)], numPerm: Int, bandSize: Int,
+                       shingleK: Int, maxBucket: Int): (Long, Long, Long, Long, Long) = {
+    val bandRows = docs.flatMap { case (id, t) =>
+      bandKeys(minhashSig(shingleSet(t, shingleK), numPerm), bandSize)
+        .zipWithIndex.map { case (key, b) => ((b, key), id) }
+    }
+    val buckets = bandRows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val sizes = buckets.valuesIterator.map(_.size).toSeq
+    val droppedDocs = buckets.valuesIterator
+      .filter(_.size > maxBucket).flatten.toSet
+    (sizes.size.toLong,
+      sizes.count(s => s > 1 && s <= maxBucket).toLong,
+      sizes.count(_ > maxBucket).toLong,
+      sizes.max.toLong,
+      droppedDocs.size.toLong)
+  }
+
+  /** q22: winnow partial-dup pairs under the df cap + minShared filter. */
+  def expectedWinnowPairs(docs: Seq[(Long, String)], k: Int, w: Int,
+                          maxDf: Int, minShared: Int): Seq[(Long, Long, Long)] = {
+    val fpRows = docs.flatMap { case (id, t) =>
+      winnowSet(t, k, w).iterator.map(fp => (fp, id))
+    }
+    val shared = mutable.Map.empty[(Long, Long), Long]
+    fpRows.groupBy(_._1).valuesIterator
+      .filter(g => g.size > 1 && g.size <= maxDf)
+      .foreach(g => sortedPairs(g.map(_._2)).foreach { p =>
+        shared(p) = shared.getOrElse(p, 0L) + 1L
+      })
+    shared.iterator.collect {
+      case ((a, b), n) if n >= minShared => (a, b, n)
+    }.toSeq
+  }
+
+  /** q23: the one-row winnow fp-stats face. */
+  def expectedWinnowStats(docs: Seq[(Long, String)], k: Int, w: Int,
+                          maxDf: Int): (Long, Long, Long, Long, Long) = {
+    val fpRows = docs.flatMap { case (id, t) =>
+      winnowSet(t, k, w).iterator.map(fp => (fp, id))
+    }
+    val byFp = fpRows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val sizes = byFp.valuesIterator.map(_.size).toSeq
+    val droppedDocs = byFp.valuesIterator.filter(_.size > maxDf).flatten.toSet
+    (sizes.size.toLong,
+      sizes.count(s => s > 1 && s <= maxDf).toLong,
+      sizes.count(_ > maxDf).toLong,
+      sizes.max.toLong,
+      droppedDocs.size.toLong)
+  }
+
+  /** q16: per-doc simhash + 16-bit band. */
+  def expectedSimhash(docs: Seq[(Long, String)]): Seq[(Long, Long, Long)] =
+    docs.map { case (id, t) =>
+      val s = simhash64(t)
+      (id, s, s & 0xFFFFL)
+    }
+}

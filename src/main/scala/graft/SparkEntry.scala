@@ -39,6 +39,7 @@ object SparkEntry {
     "q20_lsh_bucket_stats" -> ((s, d) => TextOps.minhashBucketStats(s, d)),
     "q21_ngram_jaccard"  -> ((s, d) => TextOps.ngramJaccardExact(s, d)),
     "q22_winnow_pairs"   -> ((s, d) => TextOps.winnowPairs(s, d)),
+    "q23_winnow_stats"   -> ((s, d) => TextOps.winnowFpStats(s, d)),
     "p01_extract"        -> ((s, d) => PagesQueries.extractPipeline(s, d)),
     "p08_plain_text_md5" -> (PagesQueries.plainTextMd5 _),
     "p09_doc_meta"       -> (PagesQueries.docMeta _),
@@ -220,6 +221,30 @@ object SparkEntry {
     "p12_media_sniff" ->
       """SELECT url, media_type, n_bytes
         |FROM read_parquet('/root/repo/target/p12_expected/*.parquet')""".stripMargin,
+    // Sketch-family differential oracles (q15/q16/q20/q22/q23): Verify
+    // materializes expected rows computed by graft.OracleKernels — naive
+    // independently-coded re-implementations of the kernel definitions
+    // (direct hashing, linear window scans) — so a bug in the production
+    // kernels' incremental machinery (rolling hash, monotonic deque,
+    // buffer reuse) or in the operators' relational caps/joins shows up as
+    // a driver-visible mismatch.
+    "q15_minhash_lsh" ->
+      """SELECT doc_a, doc_b
+        |FROM read_parquet('/root/repo/target/q15_expected/*.parquet')""".stripMargin,
+    "q16_simhash" ->
+      """SELECT doc_id, simhash, band16
+        |FROM read_parquet('/root/repo/target/q16_expected/*.parquet')""".stripMargin,
+    "q20_lsh_bucket_stats" ->
+      """SELECT n_buckets, n_candidate_buckets, n_dropped_buckets,
+        |  max_bucket_n, n_docs_in_dropped
+        |FROM read_parquet('/root/repo/target/q20_expected/*.parquet')""".stripMargin,
+    "q22_winnow_pairs" ->
+      """SELECT doc_a, doc_b, n_shared
+        |FROM read_parquet('/root/repo/target/q22_expected/*.parquet')""".stripMargin,
+    "q23_winnow_stats" ->
+      """SELECT n_fps, n_candidate_fps, n_dropped_fps, max_fp_n,
+        |  n_docs_in_dropped
+        |FROM read_parquet('/root/repo/target/q23_expected/*.parquet')""".stripMargin,
     // Token-profile oracle: DuckDB runs the SAME class regexes over the
     // template-derived expected text — parse+extract+tokenize end-to-end.
     "p13_token_profile" ->

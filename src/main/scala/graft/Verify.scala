@@ -50,6 +50,43 @@ object Verify {
     } catch { case e: Throwable =>
       System.err.println(s"[verify] expected-oracle dump failed: ${e.getMessage}")
     }
+    // Differential-oracle expected sets for the sketch family (q15/q16/
+    // q20/q22/q23): naive independently-coded kernels (OracleKernels) over
+    // the same documents table, written to fixed parquet paths the
+    // oracleSql entries read back. Driver-bounded by design: runs once per
+    // Verify over the sampled sf corpus.
+    try {
+      import spark.implicits._
+      import htmlspark.pipeline.TextOps
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      val q15 = OracleKernels.expectedLshPairs(docs, TextOps.NumPerm,
+        TextOps.BandSize, TextOps.ShingleK, TextOps.MaxBucket)
+        .toDF("doc_a", "doc_b")
+      val q16 = OracleKernels.expectedSimhash(docs)
+        .toDF("doc_id", "simhash", "band16")
+      val q20 = Seq(OracleKernels.expectedLshStats(docs, TextOps.NumPerm,
+        TextOps.BandSize, TextOps.ShingleK, TextOps.MaxBucket))
+        .toDF("n_buckets", "n_candidate_buckets", "n_dropped_buckets",
+          "max_bucket_n", "n_docs_in_dropped")
+      val q22 = OracleKernels.expectedWinnowPairs(docs, TextOps.WinnowK,
+        TextOps.WinnowW, TextOps.WinnowMaxDf, TextOps.WinnowMinShared)
+        .toDF("doc_a", "doc_b", "n_shared")
+      val q23 = Seq(OracleKernels.expectedWinnowStats(docs, TextOps.WinnowK,
+        TextOps.WinnowW, TextOps.WinnowMaxDf))
+        .toDF("n_fps", "n_candidate_fps", "n_dropped_fps", "max_fp_n",
+          "n_docs_in_dropped")
+      Seq("q15_expected" -> q15, "q16_expected" -> q16, "q20_expected" -> q20,
+        "q22_expected" -> q22, "q23_expected" -> q23).foreach {
+        case (name, exp) =>
+          exp.orderBy(exp.columns.sorted.map(col).toIndexedSeq: _*)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"/root/repo/target/$name")
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] sketch-oracle dump failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -65,6 +102,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Teardown honors the PlanCache contract (persisted sample corpus +
+    // sketch intermediates are session-scoped, not process-scoped).
+    htmlspark.pipeline.TextOps.clearPlanCache(spark)
     spark.stop()
   }
 }
