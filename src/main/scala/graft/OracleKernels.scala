@@ -190,4 +190,68 @@ object OracleKernels {
       val s = simhash64(t)
       (id, s, s & 0xFFFFL)
     }
+
+  /** q17: exact shingle-set intersections on the LSH candidate pairs,
+    * thresholded on the derived jaccard. */
+  def expectedJaccardCand(docs: Seq[(Long, String)], numPerm: Int,
+                          bandSize: Int, shingleK: Int, maxBucket: Int,
+                          threshold: Double): Seq[(Long, Long, Long, Long, Long)] = {
+    val shingles = docs.map { case (id, t) => id -> shingleSet(t, shingleK) }.toMap
+    expectedLshPairs(docs, numPerm, bandSize, shingleK, maxBucket)
+      .flatMap { case (a, b) =>
+        val (sa, sb) = (shingles(a), shingles(b))
+        val inter = (sa & sb).size.toLong
+        val j = inter.toDouble / (sa.size + sb.size - inter)
+        if (j >= threshold) Some((a, b, inter, sa.size.toLong, sb.size.toLong))
+        else None
+      }
+  }
+
+  /** Hyperplane sign-bit buckets by fold instead of nested while loops.
+    * The projection accumulates in the same index order as the production
+    * kernel, so sign decisions are bitwise identical. */
+  def hyperplaneBuckets(v: Array[Float], nPlanes: Int, nTables: Int): IndexedSeq[Long] =
+    (0 until nTables).map { t =>
+      (0 until nPlanes).foldLeft(0L) { (bucket, p) =>
+        val plane = (t * nPlanes + p).toLong
+        val proj = v.indices.foldLeft(0.0) { (acc, d) =>
+          val h = mix64((plane << 32) | d)
+          acc + v(d) * ((Math.floorMod(h, 2000001L) - 1000000L) / 1000000.0)
+        }
+        if (proj > 0) bucket | (1L << p) else bucket
+      }
+    }
+
+  /** In-order double-precision cosine (same accumulation order as the
+    * operator's zip_with/aggregate expression). */
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dotAB = 0.0; var dotAA = 0.0; var dotBB = 0.0
+    var i = 0
+    while (i < a.length) {
+      dotAB += a(i).toDouble * b(i).toDouble
+      dotAA += a(i).toDouble * a(i).toDouble
+      dotBB += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    dotAB / (math.sqrt(dotAA) * math.sqrt(dotBB))
+  }
+
+  /** q19: LSH-ANN — candidates share any table's bucket with the query,
+    * ranked by exact cosine desc (neighbor_id tiebreak), top k. */
+  def expectedAnnLsh(vecs: Seq[(Long, Array[Float])], nQueries: Int, k: Int,
+                     nPlanes: Int, nTables: Int): Seq[(Long, Long, Long)] = {
+    val buckets = vecs.map { case (id, v) =>
+      id -> hyperplaneBuckets(v, nPlanes, nTables) }.toMap
+    vecs.filter(_._1 < nQueries).flatMap { case (qid, qv) =>
+      val qb = buckets(qid)
+      vecs.iterator
+        .filter { case (id, _) => id != qid &&
+          (0 until nTables).exists(t => buckets(id)(t) == qb(t)) }
+        .map { case (id, v) => (id, cosine(qv, v)) }
+        .toSeq
+        .sortBy { case (id, c) => (-c, id) }
+        .take(k).zipWithIndex
+        .map { case ((id, _), r) => (qid, id, (r + 1).toLong) }
+    }
+  }
 }

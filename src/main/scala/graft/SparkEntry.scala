@@ -234,6 +234,12 @@ object SparkEntry {
     "q16_simhash" ->
       """SELECT doc_id, simhash, band16
         |FROM read_parquet('/root/repo/target/q16_expected/*.parquet')""".stripMargin,
+    "q17_jaccard_cand" ->
+      """SELECT doc_a, doc_b, n_inter, n_a, n_b
+        |FROM read_parquet('/root/repo/target/q17_expected/*.parquet')""".stripMargin,
+    "q19_ann_lsh" ->
+      """SELECT query_id, neighbor_id, rank
+        |FROM read_parquet('/root/repo/target/q19_expected/*.parquet')""".stripMargin,
     "q20_lsh_bucket_stats" ->
       """SELECT n_buckets, n_candidate_buckets, n_dropped_buckets,
         |  max_bucket_n, n_docs_in_dropped

@@ -77,7 +77,19 @@ object Verify {
         TextOps.WinnowW, TextOps.WinnowMaxDf))
         .toDF("n_fps", "n_candidate_fps", "n_dropped_fps", "max_fp_n",
           "n_docs_in_dropped")
-      Seq("q15_expected" -> q15, "q16_expected" -> q16, "q20_expected" -> q20,
+      val q17 = OracleKernels.expectedJaccardCand(docs, TextOps.NumPerm,
+        TextOps.BandSize, TextOps.ShingleK, TextOps.MaxBucket,
+        TextOps.JaccardThreshold)
+        .toDF("doc_a", "doc_b", "n_inter", "n_a", "n_b")
+      val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).toArray)).toSeq
+      val q19 = OracleKernels.expectedAnnLsh(vecs, nQueries = 8, k = 5,
+        nPlanes = 8, nTables = 8)
+        .toDF("query_id", "neighbor_id", "rank")
+      Seq("q15_expected" -> q15, "q16_expected" -> q16, "q17_expected" -> q17,
+        "q19_expected" -> q19, "q20_expected" -> q20,
         "q22_expected" -> q22, "q23_expected" -> q23).foreach {
         case (name, exp) =>
           exp.orderBy(exp.columns.sorted.map(col).toIndexedSeq: _*)

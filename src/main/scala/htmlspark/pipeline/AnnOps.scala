@@ -52,7 +52,6 @@ object AnnOps {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
-      .orderBy("query_id", "rank")
   }
 
   /** Multi-table random-hyperplane LSH bucketing: `nTables` independent
@@ -130,6 +129,5 @@ object AnnOps {
     cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
-      .orderBy("query_id", "rank")
   }
 }

@@ -212,6 +212,22 @@ object Sketches {
     out
   }
 
+  /** |set(a) ∩ set(b)| — the integer face of jaccard() below (same dedup
+    * semantics), for oracle-exact operators that defer the division. */
+  def intersectionSize(a: Array[Long], b: Array[Long]): Long = {
+    val set = new java.util.HashSet[Long](a.length * 2)
+    var i = 0
+    while (i < a.length) { set.add(a(i)); i += 1 }
+    val seen = new java.util.HashSet[Long](b.length * 2)
+    var inter = 0L
+    var j = 0
+    while (j < b.length) {
+      if (seen.add(b(j)) && set.contains(b(j))) inter += 1
+      j += 1
+    }
+    inter
+  }
+
   /** Exact Jaccard over two sorted-or-not hash arrays (set semantics). */
   def jaccard(a: Array[Long], b: Array[Long]): Double = {
     if (a.isEmpty && b.isEmpty) return 1.0

@@ -316,9 +316,15 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"))
   }
 
-  /** Exact n-gram Jaccard on the LSH candidate pairs only — the expensive
-    * set intersection never runs on all pairs. Shares the persisted sketch
-    * + shingle subplans with q15; no re-scan of the corpus. */
+  /** Jaccard threshold for confirming an LSH candidate as a near-dup. */
+  val JaccardThreshold = 0.8
+
+  /** Exact shingle-set Jaccard on the LSH candidate pairs only — the
+    * expensive set intersection never runs on all pairs. Shares the
+    * persisted sketch + shingle subplans with q15; no re-scan of the
+    * corpus. INTEGER outputs (intersection + set sizes, q21-style) so the
+    * driver oracle compares exactly; consumers derive
+    * jaccard = n_inter / (n_a + n_b - n_inter). */
   def jaccardOnCandidates(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val hashes = shingleRows(spark, dir)
@@ -326,9 +332,18 @@ object TextOps {
     pairs
       .join(hashes.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(hashes.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      // each using-column join MOVES its key to the front, so the column
+      // order here is (doc_b, doc_a, sh_a, sh_b) — pin it explicitly
+      // before the positional tuple decode (the r3 differential oracle
+      // caught the silent doc_a/doc_b swap this caused)
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
       .as[(Long, Long, Array[Long], Array[Long])]
-      .map { case (a, b, ha, hb) => (a, b, Sketches.jaccard(ha, hb)) }
-      .toDF("doc_a", "doc_b", "jaccard")
-      .filter(col("jaccard") >= 0.8)
+      .map { case (a, b, ha, hb) =>
+        val inter = Sketches.intersectionSize(ha, hb)
+        (a, b, inter, ha.length.toLong, hb.length.toLong)
+      }
+      .toDF("doc_a", "doc_b", "n_inter", "n_a", "n_b")
+      .filter(col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")) >= JaccardThreshold)
   }
 }
