@@ -236,6 +236,31 @@ object OracleKernels {
     dotAB / (math.sqrt(dotAA) * math.sqrt(dotBB))
   }
 
+  /** q24: IVF ANN — centroids are the first nCells vectors; candidates
+    * live in the query's nProbe max-cosine cells; rank exact cosine. */
+  def expectedAnnIvf(vecs: Seq[(Long, Array[Float])], nQueries: Int, k: Int,
+                     nCells: Int, nProbe: Int): Seq[(Long, Long, Long)] = {
+    val centroids = vecs.sortBy(_._1).take(nCells).map(_._2)
+    def cellScores(v: Array[Float]): Seq[(Double, Int)] =
+      centroids.zipWithIndex.map { case (c, i) => (cosine(v, c), i) }
+    val cellOf = vecs.map { case (id, v) =>
+      // max-cosine centroid, lowest index on ties — maxBy keeps the FIRST
+      // maximum only with a strict comparison, so sort instead
+      id -> cellScores(v).sortBy { case (c, i) => (-c, i) }.head._2
+    }.toMap
+    vecs.filter(_._1 < nQueries).flatMap { case (qid, qv) =>
+      val probes = cellScores(qv).sortBy { case (c, i) => (-c, i) }
+        .take(nProbe).map(_._2).toSet
+      vecs.iterator
+        .filter { case (id, _) => id != qid && probes.contains(cellOf(id)) }
+        .map { case (id, v) => (id, cosine(qv, v)) }
+        .toSeq
+        .sortBy { case (id, c) => (-c, id) }
+        .take(k).zipWithIndex
+        .map { case ((id, _), r) => (qid, id, (r + 1).toLong) }
+    }
+  }
+
   /** q19: LSH-ANN — candidates share any table's bucket with the query,
     * ranked by exact cosine desc (neighbor_id tiebreak), top k. */
   def expectedAnnLsh(vecs: Seq[(Long, Array[Float])], nQueries: Int, k: Int,

@@ -84,6 +84,47 @@ object AnnOps {
       .toDF("vec_id", "label", "embedding", "table_id", "bucket")
   }
 
+  /** IVF (inverted-file) ANN — the second scale path next to hyperplane
+    * LSH (brief: "an IVF or LSH-bucketed variant as the scale path").
+    *
+    * Coarse quantizer: the first `nCells` corpus vectors serve as
+    * centroids — deterministic and training-free (a trained k-means would
+    * drop in at the same seam; the *search* shape is what matters here).
+    * Every vector is assigned to its max-cosine centroid in ONE narrow
+    * typed-map pass (no shuffle); queries probe their `nProbe` nearest
+    * cells and the exact cosine + top-k runs only on those cells'
+    * members. At 100 TB: the assignment is written bucketed-by-cell once
+    * per corpus snapshot, and a query touches ~nProbe/nCells of the data
+    * — the centroid table is O(nCells × dim), always broadcastable. */
+  def annIvf(spark: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5,
+             nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val emb = table(spark, dir, "embeddings")
+    // centroid fetch is driver-bounded BY DESIGN: nCells rows (≈ the
+    // broadcast-dimension-table pattern, not a corpus collect)
+    val centroids: Array[Array[Float]] = emb.filter(col("vec_id") < nCells)
+      .orderBy("vec_id").select("embedding").as[Array[Float]].collect()
+    val assigned = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v, Sketches.ivfAssign(v, centroids)) }
+      .toDF("vec_id", "embedding", "cell")
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        Sketches.ivfProbes(v, centroids, nProbe).iterator.map(c => (id, v, c)) }
+      .toDF("query_id", "q", "qcell")
+    val cands = assigned.join(broadcast(queries),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q"), col("embedding")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** LSH-accelerated ANN: probe the query's bucket in each table, union +
     * dedup candidates, then exact cosine + top-k. The candidate join key is
     * the compact (table_id, bucket) id — the 100 TB shape (the corpus side

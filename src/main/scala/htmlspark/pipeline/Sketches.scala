@@ -212,6 +212,46 @@ object Sketches {
     out
   }
 
+  /** In-order double-precision cosine of two float vectors (the same
+    * accumulation order as the operators' zip_with/aggregate expression,
+    * so kernel- and expression-side scores agree bitwise). */
+  def cosineF(a: Array[Float], b: Array[Float]): Double = {
+    var ab = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    while (i < a.length) {
+      ab += a(i).toDouble * b(i).toDouble
+      aa += a(i).toDouble * a(i).toDouble
+      bb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    ab / (math.sqrt(aa) * math.sqrt(bb))
+  }
+
+  /** IVF coarse-quantizer assignment: index of the max-cosine centroid
+    * (ties → lowest index). One O(nCells × dim) pass per row. */
+  def ivfAssign(v: Array[Float], centroids: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestCos = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val cos = cosineF(v, centroids(c))
+      if (cos > bestCos) { bestCos = cos; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The `nProbe` nearest cells for a query (cosine desc, index asc
+    * tiebreak) — the multi-cell probe list of IVF search. */
+  def ivfProbes(v: Array[Float], centroids: Array[Array[Float]],
+                nProbe: Int): Array[Int] = {
+    val scored = Array.tabulate(centroids.length)(c => (cosineF(v, centroids(c)), c))
+    scala.util.Sorting.stableSort(scored,
+      (a: (Double, Int), b: (Double, Int)) =>
+        a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+    scored.take(math.min(nProbe, scored.length)).map(_._2)
+  }
+
   /** |set(a) ∩ set(b)| — the integer face of jaccard() below (same dedup
     * semantics), for oracle-exact operators that defer the division. */
   def intersectionSize(a: Array[Long], b: Array[Long]): Long = {

@@ -111,4 +111,25 @@ class SketchRecallSpec extends AnyFunSuite {
     assert(recallMp >= recall,
       f"multi-probe recall $recallMp%.2f below single-probe $recall%.2f")
   }
+
+  test("IVF-ANN recall floor vs brute-force cosine top-k, and probing " +
+       "more cells can only help") {
+    import spark.implicits._
+    val brute = AnnOps.cosineTopK(spark, dir, nQueries = 8, k = 5)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    def recallAt(nProbe: Int): Double = {
+      val ivf = AnnOps.annIvf(spark, dir, nQueries = 8, k = 5,
+          nCells = 8, nProbe = nProbe)
+        .select($"query_id", $"neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      (brute & ivf).size.toDouble / brute.size
+    }
+    val r2 = recallAt(2)
+    val r4 = recallAt(4)
+    val r8 = recallAt(8) // probing every cell == exact search
+    assert(r2 >= 0.25, f"IVF recall@2probes $r2%.2f below floor")
+    assert(r4 >= r2, f"recall must be monotone in nProbe: $r4%.2f < $r2%.2f")
+    assert(r8 == 1.0, f"probing all cells must recover brute force, got $r8%.2f")
+  }
 }
