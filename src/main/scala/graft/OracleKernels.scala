@@ -261,6 +261,24 @@ object OracleKernels {
     }
   }
 
+  /** q25: embedding near-dup — top-n highest-cosine pairs among those
+    * sharing any hyperplane bucket (cosine desc, pair-id asc tiebreak). */
+  def expectedEmbedNearDup(vecs: Seq[(Long, Array[Float])], n: Int,
+                           nPlanes: Int, nTables: Int): Seq[(Long, Long)] = {
+    val buckets = vecs.map { case (id, v) =>
+      id -> hyperplaneBuckets(v, nPlanes, nTables) }.toMap
+    val byId = vecs.toMap
+    val ids = vecs.map(_._1).sorted
+    val pairs = for {
+      i <- ids.indices.iterator
+      j <- (i + 1 until ids.length).iterator
+      (a, b) = (ids(i), ids(j))
+      if (0 until nTables).exists(t => buckets(a)(t) == buckets(b)(t))
+    } yield (a, b, cosine(byId(a), byId(b)))
+    pairs.toSeq.sortBy { case (a, b, c) => (-c, a, b) }
+      .take(n).map { case (a, b, _) => (a, b) }
+  }
+
   /** q19: LSH-ANN — candidates share any table's bucket with the query,
     * ranked by exact cosine desc (neighbor_id tiebreak), top k. */
   def expectedAnnLsh(vecs: Seq[(Long, Array[Float])], nQueries: Int, k: Int,

@@ -38,6 +38,7 @@ object SparkEntry {
     "q19_ann_lsh"        -> ((s, d) => AnnOps.annLsh(s, d)),
     "q20_lsh_bucket_stats" -> ((s, d) => TextOps.minhashBucketStats(s, d)),
     "q24_ann_ivf"        -> ((s, d) => AnnOps.annIvf(s, d)),
+    "q25_embed_neardup"  -> ((s, d) => AnnOps.embedNearDup(s, d)),
     "q21_ngram_jaccard"  -> ((s, d) => TextOps.ngramJaccardExact(s, d)),
     "q22_winnow_pairs"   -> ((s, d) => TextOps.winnowPairs(s, d)),
     "q23_winnow_stats"   -> ((s, d) => TextOps.winnowFpStats(s, d)),
@@ -251,6 +252,9 @@ object SparkEntry {
     "q24_ann_ivf" ->
       """SELECT query_id, neighbor_id, rank
         |FROM read_parquet('/root/repo/target/q24_expected/*.parquet')""".stripMargin,
+    "q25_embed_neardup" ->
+      """SELECT vec_a, vec_b
+        |FROM read_parquet('/root/repo/target/q25_expected/*.parquet')""".stripMargin,
     "q23_winnow_stats" ->
       """SELECT n_fps, n_candidate_fps, n_dropped_fps, max_fp_n,
         |  n_docs_in_dropped

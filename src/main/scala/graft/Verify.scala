@@ -91,10 +91,13 @@ object Verify {
       val q24 = OracleKernels.expectedAnnIvf(vecs, nQueries = 8, k = 5,
         nCells = 16, nProbe = 4)
         .toDF("query_id", "neighbor_id", "rank")
+      val q25 = OracleKernels.expectedEmbedNearDup(vecs, n = 25,
+        nPlanes = 8, nTables = 8)
+        .toDF("vec_a", "vec_b")
       Seq("q15_expected" -> q15, "q16_expected" -> q16, "q17_expected" -> q17,
         "q19_expected" -> q19, "q20_expected" -> q20,
         "q22_expected" -> q22, "q23_expected" -> q23,
-        "q24_expected" -> q24).foreach {
+        "q24_expected" -> q24, "q25_expected" -> q25).foreach {
         case (name, exp) =>
           exp.orderBy(exp.columns.sorted.map(col).toIndexedSeq: _*)
             .coalesce(1).write.mode("overwrite")

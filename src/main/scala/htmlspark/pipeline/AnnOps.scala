@@ -84,6 +84,35 @@ object AnnOps {
       .toDF("vec_id", "label", "embedding", "table_id", "bucket")
   }
 
+  /** Embedding-cosine near-duplicate pairs — the embedding-space analogue
+    * of MinHash-LSH text dedup (q15): hyperplane buckets propose candidate
+    * pairs (self-join on the compact (table_id, bucket) key), exact cosine
+    * verifies, and the result is the top `n` most-similar DISTINCT pairs
+    * (cosine desc, then (vec_a, vec_b) asc — a total order, so the cut is
+    * deterministic). A fixed-threshold variant is the same plan with the
+    * top-n swapped for `filter(cos >= τ)`; the fixture has no planted
+    * near-identical embeddings, so the bounded top-n face is what the
+    * driver gate checks. At 100 TB: the bucketed table is written once,
+    * the self-join co-locates by bucket, and a pair is scored at most
+    * once per shared table before the cross-table collapse. */
+  def embedNearDup(spark: SparkSession, dir: String, n: Int = 25,
+                   nPlanes: Int = 8, nTables: Int = 8): DataFrame = {
+    val bucketed = lshBuckets(spark, dir, nPlanes, nTables)
+    val a = bucketed.select(col("table_id"), col("bucket"),
+      col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = bucketed.select(col("table_id"), col("bucket"),
+      col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, Seq("table_id", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("cos"))
+      // same pair from several tables scores identically — collapse
+      .groupBy("vec_a", "vec_b").agg(max(col("cos")).as("cos"))
+      // distributed top-n (TakeOrderedAndProject), not a global sort
+      .orderBy(col("cos").desc, col("vec_a").asc, col("vec_b").asc)
+      .limit(n)
+      .select(col("vec_a"), col("vec_b"))
+  }
+
   /** IVF (inverted-file) ANN — the second scale path next to hyperplane
     * LSH (brief: "an IVF or LSH-bucketed variant as the scale path").
     *
