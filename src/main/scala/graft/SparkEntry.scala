@@ -255,6 +255,11 @@ object SparkEntry {
     "q25_embed_neardup" ->
       """SELECT vec_a, vec_b
         |FROM read_parquet('/root/repo/target/q25_expected/*.parquet')""".stripMargin,
+    // Frame-sampling fan-out oracle: expected counts derive from the
+    // generator's blob lengths only (no decode stub involved).
+    "p07_frame_sample" ->
+      """SELECT n_docs, n_frames_total, max_frames_per_doc
+        |FROM read_parquet('/root/repo/target/p07_expected/*.parquet')""".stripMargin,
     "q23_winnow_stats" ->
       """SELECT n_fps, n_candidate_fps, n_dropped_fps, max_fp_n,
         |  n_docs_in_dropped

@@ -57,7 +57,7 @@ object Verify {
     // Verify over the sampled sf corpus.
     try {
       import spark.implicits._
-      import htmlspark.pipeline.TextOps
+      import htmlspark.pipeline.{PagesGen, TextOps}
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .select("doc_id", "text").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSeq
@@ -94,10 +94,18 @@ object Verify {
       val q25 = OracleKernels.expectedEmbedNearDup(vecs, n = 25,
         nPlanes = 8, nTables = 8)
         .toDF("vec_a", "vec_b")
+      // p07's frame fan-out depends ONLY on the generator's blob length
+      // (stub-free): the expected face derives from PagesGen.mediaLen —
+      // a real oracle on the UDTF/flatMap row-blowup shape.
+      val frameCounts = (0L until 1000L).map { i =>
+        math.min(16L, math.max(PagesGen.mediaLen(i) / 512L, 1L)) }
+      val p07 = Seq((1000L, frameCounts.sum, frameCounts.max))
+        .toDF("n_docs", "n_frames_total", "max_frames_per_doc")
       Seq("q15_expected" -> q15, "q16_expected" -> q16, "q17_expected" -> q17,
         "q19_expected" -> q19, "q20_expected" -> q20,
         "q22_expected" -> q22, "q23_expected" -> q23,
-        "q24_expected" -> q24, "q25_expected" -> q25).foreach {
+        "q24_expected" -> q24, "q25_expected" -> q25,
+        "p07_expected" -> p07).foreach {
         case (name, exp) =>
           exp.orderBy(exp.columns.sorted.map(col).toIndexedSeq: _*)
             .coalesce(1).write.mode("overwrite")
