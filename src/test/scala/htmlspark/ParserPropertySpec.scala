@@ -83,6 +83,37 @@ class ParserPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("undeclared pages never lose bytes to U+FFFD (r3 encoding default)") {
+    // The round-3 invariant: with no BOM and no meta, the sniff picks
+    // strict-valid utf-8 or the TOTAL windows-1252 table — either way no
+    // replacement character can appear. (Declared charsets and utf-16
+    // BOMs may still legitimately produce U+FFFD on malformed payloads.)
+    import htmlspark.encoding.EncodingSniffer
+    val byteGen = Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray)
+    forAllN(byteGen, 400) { bytes =>
+      val s = EncodingSniffer.sniff(bytes)
+      if (s.source == EncodingSniffer.SourceDefault) {
+        val text = EncodingSniffer.decode(bytes, s)
+        assert(!text.contains('�'),
+          s"charset=${s.charset} lost bytes: ${bytes.take(20).mkString(",")}")
+        // and the decode is length-preserving for the windows-1252 arm
+        if (s.charset == "windows-1252") assert(text.length == bytes.length)
+      }
+    }
+  }
+
+  test("ascii content decodes identically under both default arms") {
+    val asciiGen = Gen.listOf(Gen.chooseNum(0x09, 0x7E).map(_.toChar)).map(_.mkString)
+    forAllN(asciiGen, 200) { content =>
+      import htmlspark.encoding.EncodingSniffer
+      val bytes = content.getBytes("US-ASCII")
+      val s = EncodingSniffer.sniff(bytes)
+      if (s.source == EncodingSniffer.SourceDefault)
+        assert(EncodingSniffer.decode(bytes, s) ==
+          EncodingSniffer.decodeWindows1252(bytes, 0))
+    }
+  }
+
   test("fragment totality: any soup in any context parses without hanging") {
     val ctxGen = Gen.oneOf("div", "td", "tr", "tbody", "table", "select",
       "title", "textarea", "script", "style", "plaintext", "template",
