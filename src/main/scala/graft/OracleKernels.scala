@@ -91,16 +91,27 @@ object OracleKernels {
     }.toSet
   }
 
-  /** SimHash over letter-or-digit token runs (regex split + fold hash). */
+  /** SimHash over letter-or-digit token runs. Token boundaries use the
+    * SAME per-UTF-16-char Character.isLetterOrDigit definition as the
+    * production kernel (a code-point regex like \p{L} would disagree on
+    * supplementary-plane letters — surrogate pairs are non-alnum CHARS
+    * under the production definition); the mechanism differs (span
+    * splitting + fold hashing vs a hand-rolled scan). */
   def simhash64(text: String): Long = {
     val counts = new Array[Int](64)
-    "[\\p{L}\\p{Nd}]+".r.findAllIn(text).foreach { tok =>
-      val th = mix64(tok.foldLeft(0xCBF29CE484222325L)(
-        (h, c) => (h ^ Character.toLowerCase(c).toLong) * P))
-      var b = 0
-      while (b < 64) {
-        if (((th >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-        b += 1
+    var rest: String = text
+    while (rest.nonEmpty) {
+      rest = rest.dropWhile(c => !Character.isLetterOrDigit(c))
+      val tok = rest.takeWhile(Character.isLetterOrDigit)
+      rest = rest.substring(tok.length)
+      if (tok.nonEmpty) {
+        val th = mix64(tok.foldLeft(0xCBF29CE484222325L)(
+          (h, c) => (h ^ Character.toLowerCase(c).toLong) * P))
+        var b = 0
+        while (b < 64) {
+          if (((th >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
       }
     }
     (0 until 64).foldLeft(0L)((sig, b) =>

@@ -85,14 +85,17 @@ object Verify {
         .select("vec_id", "embedding").collect()
         .map(r => (r.getLong(0),
           r.getSeq[Float](1).toArray)).toSeq
-      val q19 = OracleKernels.expectedAnnLsh(vecs, nQueries = 8, k = 5,
-        nPlanes = 8, nTables = 8)
+      import htmlspark.pipeline.AnnOps.{DefaultQueries, DefaultK,
+        DefaultPlanes, DefaultTables, DefaultCells, DefaultProbe,
+        DefaultNearDupN}
+      val q19 = OracleKernels.expectedAnnLsh(vecs, DefaultQueries, DefaultK,
+        DefaultPlanes, DefaultTables)
         .toDF("query_id", "neighbor_id", "rank")
-      val q24 = OracleKernels.expectedAnnIvf(vecs, nQueries = 8, k = 5,
-        nCells = 16, nProbe = 4)
+      val q24 = OracleKernels.expectedAnnIvf(vecs, DefaultQueries, DefaultK,
+        DefaultCells, DefaultProbe)
         .toDF("query_id", "neighbor_id", "rank")
-      val q25 = OracleKernels.expectedEmbedNearDup(vecs, n = 25,
-        nPlanes = 8, nTables = 8)
+      val q25 = OracleKernels.expectedEmbedNearDup(vecs, DefaultNearDupN,
+        DefaultPlanes, DefaultTables)
         .toDF("vec_a", "vec_b")
       // p07's frame fan-out depends ONLY on the generator's blob length
       // (stub-free): the expected face derives from PagesGen.mediaLen —

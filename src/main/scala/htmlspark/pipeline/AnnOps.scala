@@ -16,6 +16,18 @@ import org.apache.spark.sql.expressions.Window
 object AnnOps {
   import RelationalOps.table
 
+  // ANN parameters — public single source of truth shared with the
+  // Verify-side differential oracle (graft.OracleKernels), mirroring the
+  // TextOps sketch-parameter convention: a tuning change here reaches
+  // both sides at once instead of silently desyncing the expected sets.
+  val DefaultQueries = 8
+  val DefaultK = 5
+  val DefaultPlanes = 8
+  val DefaultTables = 8
+  val DefaultCells = 16
+  val DefaultProbe = 4
+  val DefaultNearDupN = 25
+
   /** In-order double-precision dot product of two float vectors. */
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -40,7 +52,7 @@ object AnnOps {
     * (small) scored set.
     */
   def cosineTopK(spark: SparkSession, dir: String,
-                 nQueries: Int = 8, k: Int = 5): DataFrame = {
+                 nQueries: Int = DefaultQueries, k: Int = DefaultK): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
@@ -64,7 +76,7 @@ object AnnOps {
     * runs/executors. At scale: bucket once, write bucketed-by-(table_id,
     * bucket); queries probe only their buckets. */
   def lshBuckets(spark: SparkSession, dir: String,
-                 nPlanes: Int = 8, nTables: Int = 8): DataFrame =
+                 nPlanes: Int = DefaultPlanes, nTables: Int = DefaultTables): DataFrame =
     // persisted once per (session, dir, params): q19's probe join and
     // q25's self-join (BOTH sides) would otherwise re-run the
     // O(tables × planes × dim) kernel per consumer — the same
@@ -101,8 +113,8 @@ object AnnOps {
     * driver gate checks. At 100 TB: the bucketed table is written once,
     * the self-join co-locates by bucket, and a pair is scored at most
     * once per shared table before the cross-table collapse. */
-  def embedNearDup(spark: SparkSession, dir: String, n: Int = 25,
-                   nPlanes: Int = 8, nTables: Int = 8): DataFrame = {
+  def embedNearDup(spark: SparkSession, dir: String, n: Int = DefaultNearDupN,
+                   nPlanes: Int = DefaultPlanes, nTables: Int = DefaultTables): DataFrame = {
     val bucketed = lshBuckets(spark, dir, nPlanes, nTables)
     val a = bucketed.select(col("table_id"), col("bucket"),
       col("vec_id").as("vec_a"), col("embedding").as("ea"))
@@ -131,14 +143,19 @@ object AnnOps {
     * members. At 100 TB: the assignment is written bucketed-by-cell once
     * per corpus snapshot, and a query touches ~nProbe/nCells of the data
     * — the centroid table is O(nCells × dim), always broadcastable. */
-  def annIvf(spark: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5,
-             nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+  def annIvf(spark: SparkSession, dir: String,
+             nQueries: Int = DefaultQueries, k: Int = DefaultK,
+             nCells: Int = DefaultCells, nProbe: Int = DefaultProbe): DataFrame = {
     import spark.implicits._
     val emb = table(spark, dir, "embeddings")
     // centroid fetch is driver-bounded BY DESIGN: nCells rows (≈ the
     // broadcast-dimension-table pattern, not a corpus collect)
-    val centroids: Array[Array[Float]] = emb.filter(col("vec_id") < nCells)
-      .orderBy("vec_id").select("embedding").as[Array[Float]].collect()
+    // the nCells LOWEST ids, not filter(id < nCells): robust to id gaps
+    // (a filtered/compacted snapshot), and exactly what the differential
+    // oracle computes on its side
+    val centroids: Array[Array[Float]] = emb
+      .orderBy("vec_id").limit(nCells)
+      .select("embedding").as[Array[Float]].collect()
     val assigned = emb.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .map { case (id, v) => (id, v, Sketches.ivfAssign(v, centroids)) }
@@ -165,8 +182,9 @@ object AnnOps {
     * the compact (table_id, bucket) id — the 100 TB shape (the corpus side
     * never shuffles; dup candidates collapse before the ranking window).
     */
-  def annLsh(spark: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5,
-             nPlanes: Int = 8, nTables: Int = 8,
+  def annLsh(spark: SparkSession, dir: String,
+             nQueries: Int = DefaultQueries, k: Int = DefaultK,
+             nPlanes: Int = DefaultPlanes, nTables: Int = DefaultTables,
              multiProbe: Boolean = false): DataFrame = {
     val bucketed = lshBuckets(spark, dir, nPlanes, nTables)
     // query side: filter BEFORE the bucket kernel so the scan prunes to

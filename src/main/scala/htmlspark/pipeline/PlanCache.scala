@@ -31,35 +31,47 @@ private[pipeline] object PlanCache {
   // by the application-end listener registered on first use.
   private val ids = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, String]())
+  // ONE application-end hook per SparkContext (one per JVM in practice),
+  // not one listener per session — per-session listeners would accumulate
+  // on the shared listener bus with no deregistration path.
+  private val contextHooked = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, java.lang.Boolean]())
   private def sessionId(spark: SparkSession): String =
     ids.computeIfAbsent(spark, s => {
-      val id = java.util.UUID.randomUUID().toString
-      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-          clearById(id)
+      contextHooked.computeIfAbsent(s.sparkContext, sc => {
+        sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            clearAll()
+        })
+        java.lang.Boolean.TRUE
       })
-      id
+      java.util.UUID.randomUUID().toString
     })
 
   def getOrBuild(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
     cache.getOrElseUpdate((sessionId(spark), key),
       build.persist(StorageLevel.MEMORY_AND_DISK))
 
-  /** Unpersist and drop this session's entries. */
-  def clear(spark: SparkSession): Unit = clearById(sessionId(spark))
+  /** Unpersist and drop this session's entries. Read-only on the id map:
+    * a session that never built anything is a no-op (no id minting, no
+    * listener registration as a side effect of teardown). */
+  def clear(spark: SparkSession): Unit =
+    Option(ids.get(spark)).foreach(clearById)
 
   /** Number of live entries for this session (observability + specs). */
-  def size(spark: SparkSession): Int = {
-    val id = sessionId(spark)
-    cache.keys.count(_._1 == id)
-  }
+  def size(spark: SparkSession): Int =
+    Option(ids.get(spark)).map(id => cache.keys.count(_._1 == id)).getOrElse(0)
 
   private def clearById(id: String): Unit =
-    cache.keys.filter(_._1 == id).foreach { k =>
-      cache.remove(k).foreach { df =>
-        // unpersist is a no-op risk after context stop — never throw here
-        try df.unpersist(false) catch { case _: Throwable => () }
-      }
+    cache.keys.filter(_._1 == id).foreach(dropKey)
+
+  /** Context teardown: every session of the ending context dies with it. */
+  private def clearAll(): Unit = cache.keys.toSeq.foreach(dropKey)
+
+  private def dropKey(k: (String, String)): Unit =
+    cache.remove(k).foreach { df =>
+      // unpersist is a no-op risk after context stop — never throw here
+      try df.unpersist(false) catch { case _: Throwable => () }
     }
 }

@@ -252,17 +252,18 @@ object Sketches {
     scored.take(math.min(nProbe, scored.length)).map(_._2)
   }
 
-  /** |set(a) ∩ set(b)| — the integer face of jaccard() below (same dedup
-    * semantics), for oracle-exact operators that defer the division. */
+  /** |a ∩ b| for DISTINCT-element arrays (both producers here —
+    * shingleHashes and winnow — emit set-deduped arrays, so one hash set
+    * and a membership counter suffice; this runs once per q17 candidate
+    * pair). Multiset inputs would need jaccard()'s dedup shape instead. */
   def intersectionSize(a: Array[Long], b: Array[Long]): Long = {
     val set = new java.util.HashSet[Long](a.length * 2)
     var i = 0
     while (i < a.length) { set.add(a(i)); i += 1 }
-    val seen = new java.util.HashSet[Long](b.length * 2)
     var inter = 0L
     var j = 0
     while (j < b.length) {
-      if (seen.add(b(j)) && set.contains(b(j))) inter += 1
+      if (set.contains(b(j))) inter += 1
       j += 1
     }
     inter
