@@ -172,4 +172,24 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.n_late_meta >= 0 && r.n_late_meta <= r.n_docs)
     }
   }
+
+  test("the real 133KB document rides the full pipeline (big-doc salting " +
+       "path) byte-identically to the in-JVM parse") {
+    import spark.implicits._
+    val in = getClass.getResourceAsStream("/realdoc/test.html")
+    val bytes = try in.readAllBytes() finally in.close()
+    assert(bytes.length > 65536, "must exceed the salting threshold")
+    val realUrl = "https://real.example/spec-chapter.html"
+    val real = Seq(Page(realUrl, new java.sql.Timestamp(0), bytes, "", "en")).toDS()
+    val out = ParseJob.run(PagesGen.pages(spark, 200).union(real))
+      .filter($"url" === realUrl).as[ExtractedDoc].collect()
+    assert(out.length == 1)
+    val d = out(0)
+    assert(d.parse_ok && d.n_parse_errors == 0)
+    assert(d.charset == "windows-1252" && d.charset_source == "default")
+    assert(d.n_chars == 68158, s"got ${d.n_chars}")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(md.digest(d.text_extracted.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString == "daefc30b7917fb683b6455d9ff334ef3")
+  }
 }
