@@ -39,6 +39,7 @@ object SparkEntry {
     "q20_lsh_bucket_stats" -> ((s, d) => TextOps.minhashBucketStats(s, d)),
     "q24_ann_ivf"        -> ((s, d) => AnnOps.annIvf(s, d)),
     "q25_embed_neardup"  -> ((s, d) => AnnOps.embedNearDup(s, d)),
+    "q26_dedup_decision" -> ((s, d) => TextOps.dedupDecision(s, d)),
     "q21_ngram_jaccard"  -> ((s, d) => TextOps.ngramJaccardExact(s, d)),
     "q22_winnow_pairs"   -> ((s, d) => TextOps.winnowPairs(s, d)),
     "q23_winnow_stats"   -> ((s, d) => TextOps.winnowFpStats(s, d)),
@@ -255,6 +256,20 @@ object SparkEntry {
     "q25_embed_neardup" ->
       """SELECT vec_a, vec_b
         |FROM read_parquet('/root/repo/target/q25_expected/*.parquet')""".stripMargin,
+    // Dedup-policy composition: exact leg in plain SQL; the near-dup leg
+    // reads the q17 differential-oracle parquet (already
+    // jaccard-thresholded), dropping the higher id of each verified pair.
+    "q26_dedup_decision" ->
+      """SELECT d.doc_id,
+        |  CASE WHEN k.keeper_id <> d.doc_id THEN 'exact_dup'
+        |       WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+        |       ELSE 'keep' END AS decision
+        |FROM documents d
+        |JOIN (SELECT md5(text) AS fp, min(doc_id) AS keeper_id
+        |      FROM documents GROUP BY 1) k ON md5(d.text) = k.fp
+        |LEFT JOIN (SELECT DISTINCT doc_b AS doc_id
+        |           FROM read_parquet('/root/repo/target/q17_expected/*.parquet')) nd
+        |  ON nd.doc_id = d.doc_id""".stripMargin,
     // Frame-sampling fan-out oracle: expected counts derive from the
     // generator's blob lengths only (no decode stub involved).
     "p07_frame_sample" ->

@@ -319,6 +319,30 @@ object TextOps {
   /** Jaccard threshold for confirming an LSH candidate as a near-dup. */
   val JaccardThreshold = 0.8
 
+  /** The materialized KEEP/DROP policy a training pipeline runs before
+    * tokenization — the composition face of the dedup family: a doc is
+    * dropped as `exact_dup` if it is not its content-hash group's keeper
+    * (q09 semantics), else as `near_dup` if it is the HIGHER id of any
+    * verified near-duplicate pair (LSH candidates → exact jaccard ≥
+    * threshold, q17 semantics — keep-lowest-id mirrors the exact rule),
+    * else kept. Shuffle shape: (fp, doc_id) for the exact leg; the
+    * near-dup leg rides the persisted sketch subplans and its dropped-id
+    * set is tiny → broadcast left join. */
+  def dedupDecision(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+    val keepers = docs.groupBy("fp").agg(min(col("doc_id")).as("keeper_id"))
+    val nearDropped = jaccardOnCandidates(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("near", lit(true))
+    docs.join(keepers, "fp")
+      .join(broadcast(nearDropped), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("keeper_id"), "exact_dup")
+          .when(col("near"), "near_dup")
+          .otherwise("keep").as("decision"))
+  }
+
   /** Exact shingle-set Jaccard on the LSH candidate pairs only — the
     * expensive set intersection never runs on all pairs. Shares the
     * persisted sketch + shingle subplans with q15; no re-scan of the
