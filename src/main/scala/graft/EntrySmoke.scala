@@ -2,7 +2,9 @@ package graft
 object EntrySmoke {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[4]").config("spark.ui.enabled","false").getOrCreate()
+      .master("local[4]")
+      .config("spark.sql.extensions", "htmlspark.functions.GraftExtensions")
+      .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     println("ENTRY_ROWS=" + SparkEntry.entry(spark).count())
     spark.stop()

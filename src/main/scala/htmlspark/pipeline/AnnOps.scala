@@ -35,8 +35,22 @@ object AnnOps {
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
-  private def cosine(a: Column, b: Column): Column =
+  /** Composed-built-ins cosine — correct but the higher-order lambdas
+    * evaluate interpreted/boxed (three traversals per score). Kept as the
+    * fallback and as the A/B reference for the native expression. */
+  private[htmlspark] def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine scoring column: the native codegen'd expression
+    * (htmlspark.functions.CosineSimilarity, one fused loop inside
+    * whole-stage codegen) when the session has GraftExtensions installed;
+    * the composed-built-ins fallback otherwise. The two are BITWISE
+    * identical (same ascending accumulation order), so oracle hashes do
+    * not depend on which path ran. */
+  private def cosine(spark: SparkSession)(a: Column, b: Column): Column =
+    if (spark.catalog.functionExists("cosine_sim"))
+      call_function("cosine_sim", a, b)
+    else cosineHof(a, b)
 
   /** Vector sanity stats (SQL-oracle-able: integer outputs only). */
   def embedStats(spark: SparkSession, dir: String): DataFrame =
@@ -58,7 +72,7 @@ object AnnOps {
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
     val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("q"), col("embedding")).as("cos"))
+        cosine(spark)(col("q"), col("embedding")).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -122,7 +136,8 @@ object AnnOps {
       col("vec_id").as("vec_b"), col("embedding").as("eb"))
     a.join(b, Seq("table_id", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("cos"))
+      .select(col("vec_a"), col("vec_b"),
+        cosine(spark)(col("ea"), col("eb")).as("cos"))
       // same pair from several tables scores identically — collapse
       .groupBy("vec_a", "vec_b").agg(max(col("cos")).as("cos"))
       // distributed top-n (TakeOrderedAndProject), not a global sort
@@ -169,7 +184,7 @@ object AnnOps {
     val cands = assigned.join(broadcast(queries),
         col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("q"), col("embedding")).as("cos"))
+        cosine(spark)(col("q"), col("embedding")).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     cands.withColumn("rank", row_number().over(w))
@@ -213,7 +228,7 @@ object AnnOps {
           col("bucket") === col("qbucket") &&
           col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("q"), col("embedding")).as("cos"))
+        cosine(spark)(col("q"), col("embedding")).as("cos"))
       // a pair found in several tables scores identically — collapse before
       // ranking so duplicates can't occupy multiple top-k slots
       .groupBy("query_id", "neighbor_id")

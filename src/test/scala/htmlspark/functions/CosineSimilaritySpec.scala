@@ -1,0 +1,89 @@
+package htmlspark.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The native codegen'd cosine expression vs the composed-built-ins
+  * fallback: BITWISE equality is the contract (the driver oracles
+  * hash-compare results whichever path a session takes). */
+class CosineSimilaritySpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    // In the shared test JVM an earlier suite may already own the active
+    // session — built WITHOUT the extension, and getOrCreate would hand
+    // it back unmodified. Reuse it only if it has the function; otherwise
+    // clear the active/default slots so getOrCreate constructs a fresh
+    // session (same SparkContext) with the extension applied.
+    val existing = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .filter(_.catalog.functionExists("cosine_sim"))
+    val s = existing.getOrElse {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.builder()
+        .master("local[2]")
+        .appName("cosine-expr-spec")
+        .config("spark.sql.shuffle.partitions", "4")
+        .withExtensions(new GraftExtensions())
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    }
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  test("extension registers cosine_sim in the session") {
+    assert(spark.catalog.functionExists("cosine_sim"))
+  }
+
+  test("native expression is bitwise-identical to the HOF fallback on the " +
+       "fixture embeddings (all pairs vs vector 0)") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q"))
+    val both = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        call_function("cosine_sim", col("q"), col("embedding")).as("native"),
+        htmlspark.pipeline.AnnOps.cosineHof(col("q"), col("embedding")).as("hof"))
+      .as[(Long, Double, Double)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (id, n, h) =>
+      assert(java.lang.Double.doubleToRawLongBits(n) ==
+        java.lang.Double.doubleToRawLongBits(h),
+        s"vec $id: native=$n hof=$h (bitwise mismatch)")
+    }
+  }
+
+  test("interpreted eval path agrees too (null-safe eval vs codegen)") {
+    // force the interpreted path by evaluating the expression directly
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val a = ArrayData.toArrayData(Array(1.0f, 2.0f, 3.0f))
+    val b = ArrayData.toArrayData(Array(4.0f, 5.0f, 6.0f))
+    val e = CosineSimilarity(
+      Literal(a, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)),
+      Literal(b, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)))
+    val got = e.eval(null).asInstanceOf[Double]
+    val want = (4.0 + 10.0 + 18.0) /
+      (math.sqrt(1.0 + 4.0 + 9.0) * math.sqrt(16.0 + 25.0 + 36.0))
+    assert(got == want)
+  }
+
+  test("the expression stays inside whole-stage codegen") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+    val df = emb.crossJoin(broadcast(q))
+      .select(call_function("cosine_sim", col("q"), col("embedding")).as("c"))
+    df.collect() // finalize the adaptive plan so codegen spans materialize
+    val plan = df.queryExecution.executedPlan.toString
+    // the "*(n)" stage prefix is the WholeStageCodegen marker in the
+    // compact plan rendering: the Project evaluating cosine_sim must
+    // carry it (a codegen-incapable expression would break the span)
+    assert("""\*\(\d+\) Project \[cosine_sim""".r.findFirstIn(plan).isDefined,
+      plan.take(600))
+  }
+}
