@@ -99,14 +99,18 @@ object OracleKernels {
     * splitting + fold hashing vs a hand-rolled scan). */
   def simhash64(text: String): Long = {
     val counts = new Array[Int](64)
-    var rest: String = text
-    while (rest.nonEmpty) {
-      rest = rest.dropWhile(c => !Character.isLetterOrDigit(c))
-      val tok = rest.takeWhile(Character.isLetterOrDigit)
-      rest = rest.substring(tok.length)
-      if (tok.nonEmpty) {
-        val th = mix64(tok.foldLeft(0xCBF29CE484222325L)(
-          (h, c) => (h ^ Character.toLowerCase(c).toLong) * P))
+    val len = text.length
+    var i = 0
+    while (i < len) {
+      // token boundaries by index scan (O(n) — no per-token suffix copies),
+      // hash by range fold: still a different mechanism from production's
+      // single fused scan-and-hash loop
+      while (i < len && !Character.isLetterOrDigit(text.charAt(i))) i += 1
+      val start = i
+      while (i < len && Character.isLetterOrDigit(text.charAt(i))) i += 1
+      if (i > start) {
+        val th = mix64((start until i).foldLeft(0xCBF29CE484222325L)(
+          (h, j) => (h ^ Character.toLowerCase(text.charAt(j)).toLong) * P))
         var b = 0
         while (b < 64) {
           if (((th >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1

@@ -39,13 +39,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  // NULL parity with the HOF fallback: zip_with pads a shorter array with
+  // nulls and aggregate propagates them, so the HOF chain yields NULL for
+  // mismatched lengths or null elements — this expression must too, or
+  // which-path-ran would leak into oracle hashes.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var ab = 0.0; var aa = 0.0; var bb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getFloat(i).toDouble
       val yv = y.getFloat(i).toDouble
       ab += xv * yv; aa += xv * xv; bb += yv * yv
@@ -56,15 +64,29 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh locals: two cosine_sim instances can share one codegen scope
+      // (nullSafeCodeGen emits the body unbraced for non-nullable inputs)
+      val n = ctx.freshName("n")
+      val ab = ctx.freshName("ab")
+      val aa = ctx.freshName("aa")
+      val bb = ctx.freshName("bb")
+      val i = ctx.freshName("i")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double ab = 0.0, aa = 0.0, bb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double x = (double) $a.getFloat(i);
-         |  double y = (double) $b.getFloat(i);
-         |  ab += x * y; aa += x * x; bb += y * y;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $ab = 0.0, $aa = 0.0, $bb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double x = (double) $a.getFloat($i);
+         |    double y = (double) $b.getFloat($i);
+         |    $ab += x * y; $aa += x * x; $bb += y * y;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));
+         |  }
          |}
-         |${ev.value} = ab / (java.lang.Math.sqrt(aa) * java.lang.Math.sqrt(bb));
        """.stripMargin
     })
 
@@ -82,5 +104,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"cosine_sim expects exactly 2 arguments (array<float>, " +
+            s"array<float>), got ${exprs.length}")
+        CosineSimilarity(exprs.head, exprs(1))
+      }))
 }

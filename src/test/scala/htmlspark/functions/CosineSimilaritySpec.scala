@@ -73,6 +73,42 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("two instances in one projection codegen cleanly (fresh locals)") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f), Array(1.0f, 1.0f)))
+      .toDF("a", "b", "c")
+      .select(
+        call_function("cosine_sim", col("a"), col("b")).as("x"),
+        call_function("cosine_sim", col("a"), col("c")).as("y"))
+    val r = df.as[(Double, Double)].collect()(0)
+    assert(r._1 == 0.0)
+    assert(math.abs(r._2 - 1.0 / math.sqrt(2.0)) < 1e-15)
+  }
+
+  test("null parity with the HOF fallback: length mismatch and null " +
+       "elements yield NULL on both paths") {
+    import spark.implicits._
+    val df = Seq(
+      (Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](3.0f)),
+      (Array[java.lang.Float](1.0f, null), Array[java.lang.Float](3.0f, 4.0f)),
+      (Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](3.0f, 4.0f))
+    ).toDF("a", "b")
+      .select(
+        call_function("cosine_sim", col("a"), col("b")).as("native"),
+        htmlspark.pipeline.AnnOps.cosineHof(col("a"), col("b")).as("hof"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1),
+        s"null-ness diverged: native=${r.get(0)} hof=${r.get(1)}")
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+    assert(rows(0).isNullAt(0), "length mismatch must be NULL")
+    assert(rows(1).isNullAt(0), "null element must be NULL")
+    assert(!rows(2).isNullAt(0), "clean row must score")
+  }
+
   test("the expression stays inside whole-stage codegen") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q"))
