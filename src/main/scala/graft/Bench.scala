@@ -70,5 +70,13 @@ object Bench {
         .parseAll(htmlspark.pipeline.PagesGen.pages(spark, 2000))
         .filter($"parse_ok").count()
     } catch { case _: Throwable => () }
+    // ... and the native cosine expression's codegen (otherwise the first
+    // ANN query pays the janino compile).
+    try {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
+      e.crossJoin(e.select(col("embedding").as("q")).limit(1))
+        .select(call_function("cosine_sim", col("q"), col("embedding")))
+        .count()
+    } catch { case _: Throwable => () }
   }
 }

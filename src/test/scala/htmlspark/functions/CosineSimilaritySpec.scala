@@ -109,6 +109,29 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(!rows(2).isNullAt(0), "clean row must score")
   }
 
+  test("randomized parity: 200 seeded random vector pairs agree bitwise") {
+    import spark.implicits._
+    // deterministic pseudo-random floats (no Random state): splitmix-ish
+    def f(seed: Long): Float = {
+      var z = seed + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      ((z >>> 16) % 2000 - 1000) / 1000.0f
+    }
+    val rows = (0 until 200).map { k =>
+      (Array.tabulate(32)(d => f(k * 64 + d)),
+        Array.tabulate(32)(d => f(k * 64 + 32 + d)))
+    }
+    val both = rows.toDF("a", "b")
+      .select(
+        call_function("cosine_sim", col("a"), col("b")).as("native"),
+        htmlspark.pipeline.AnnOps.cosineHof(col("a"), col("b")).as("hof"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToRawLongBits(n) ==
+        java.lang.Double.doubleToRawLongBits(h))
+    }
+  }
+
   test("the expression stays inside whole-stage codegen") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q"))
