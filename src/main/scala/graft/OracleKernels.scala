@@ -238,7 +238,11 @@ object OracleKernels {
     }
 
   /** In-order double-precision cosine (same accumulation order as the
-    * operator's zip_with/aggregate expression). */
+    * operator's zip_with/aggregate expression). A zero-norm input yields
+    * NaN; every consumer below FILTERS NaN scores, matching the operators'
+    * !isnan guard (ADVICE r3 — Spark ranks NaN largest, Scala's total
+    * order ranks it last; dropping undefined scores on both sides makes
+    * the comparison well-defined). */
   private def cosine(a: Array[Float], b: Array[Float]): Double = {
     var dotAB = 0.0; var dotAA = 0.0; var dotBB = 0.0
     var i = 0
@@ -269,6 +273,7 @@ object OracleKernels {
       vecs.iterator
         .filter { case (id, _) => id != qid && probes.contains(cellOf(id)) }
         .map { case (id, v) => (id, cosine(qv, v)) }
+        .filterNot(_._2.isNaN)
         .toSeq
         .sortBy { case (id, c) => (-c, id) }
         .take(k).zipWithIndex
@@ -276,22 +281,47 @@ object OracleKernels {
     }
   }
 
+  /** (table, bucket) → member ids, the shared body of the q25/q27
+    * expectations (mirrors the operator's bucketed frame, built naively
+    * from per-vector bucket signatures). */
+  private def embedBucketGroups(vecs: Seq[(Long, Array[Float])],
+                                nPlanes: Int, nTables: Int): Map[(Int, Long), Seq[Long]] =
+    vecs.flatMap { case (id, v) =>
+      hyperplaneBuckets(v, nPlanes, nTables).zipWithIndex
+        .map { case (b, t) => ((t, b), id) }
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
   /** q25: embedding near-dup — top-n highest-cosine pairs among those
-    * sharing any hyperplane bucket (cosine desc, pair-id asc tiebreak). */
+    * sharing any IN-CAP hyperplane bucket (cosine desc, pair-id asc
+    * tiebreak); buckets over `maxBucket` members are dropped, mirroring
+    * the operator's degenerate-bucket cap. */
   def expectedEmbedNearDup(vecs: Seq[(Long, Array[Float])], n: Int,
-                           nPlanes: Int, nTables: Int): Seq[(Long, Long)] = {
-    val buckets = vecs.map { case (id, v) =>
-      id -> hyperplaneBuckets(v, nPlanes, nTables) }.toMap
+                           nPlanes: Int, nTables: Int,
+                           maxBucket: Int): Seq[(Long, Long)] = {
     val byId = vecs.toMap
-    val ids = vecs.map(_._1).sorted
-    val pairs = for {
-      i <- ids.indices.iterator
-      j <- (i + 1 until ids.length).iterator
-      (a, b) = (ids(i), ids(j))
-      if (0 until nTables).exists(t => buckets(a)(t) == buckets(b)(t))
-    } yield (a, b, cosine(byId(a), byId(b)))
+    val candidates = embedBucketGroups(vecs, nPlanes, nTables).valuesIterator
+      .filter(g => g.size > 1 && g.size <= maxBucket)
+      .flatMap(g => sortedPairs(g))
+      .toSet
+    val pairs = candidates.iterator
+      .map { case (a, b) => (a, b, cosine(byId(a), byId(b))) }
+      .filterNot(_._3.isNaN)
     pairs.toSeq.sortBy { case (a, b, c) => (-c, a, b) }
       .take(n).map { case (a, b, _) => (a, b) }
+  }
+
+  /** q27: the one-row embed-bucket-stats face over the same groups. */
+  def expectedEmbedBucketStats(vecs: Seq[(Long, Array[Float])], nPlanes: Int,
+                               nTables: Int, maxBucket: Int): (Long, Long, Long, Long, Long) = {
+    val groups = embedBucketGroups(vecs, nPlanes, nTables)
+    val sizes = groups.valuesIterator.map(_.size).toSeq
+    val droppedVecs = groups.valuesIterator
+      .filter(_.size > maxBucket).flatten.toSet
+    (sizes.size.toLong,
+      sizes.count(s => s > 1 && s <= maxBucket).toLong,
+      sizes.count(_ > maxBucket).toLong,
+      sizes.max.toLong,
+      droppedVecs.size.toLong)
   }
 
   /** q19: LSH-ANN — candidates share any table's bucket with the query,
@@ -306,6 +336,7 @@ object OracleKernels {
         .filter { case (id, _) => id != qid &&
           (0 until nTables).exists(t => buckets(id)(t) == qb(t)) }
         .map { case (id, v) => (id, cosine(qv, v)) }
+        .filterNot(_._2.isNaN)
         .toSeq
         .sortBy { case (id, c) => (-c, id) }
         .take(k).zipWithIndex

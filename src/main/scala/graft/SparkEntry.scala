@@ -43,6 +43,7 @@ object SparkEntry {
     "q21_ngram_jaccard"  -> ((s, d) => TextOps.ngramJaccardExact(s, d)),
     "q22_winnow_pairs"   -> ((s, d) => TextOps.winnowPairs(s, d)),
     "q23_winnow_stats"   -> ((s, d) => TextOps.winnowFpStats(s, d)),
+    "q27_embed_bucket_stats" -> ((s, d) => AnnOps.embedBucketStats(s, d)),
     "p01_extract"        -> ((s, d) => PagesQueries.extractPipeline(s, d)),
     "p08_plain_text_md5" -> (PagesQueries.plainTextMd5 _),
     "p09_doc_meta"       -> (PagesQueries.docMeta _),
@@ -256,6 +257,13 @@ object SparkEntry {
     "q25_embed_neardup" ->
       """SELECT vec_a, vec_b
         |FROM read_parquet('/root/repo/target/q25_expected/*.parquet')""".stripMargin,
+    // q25's degenerate-bucket cap observability (mirror of q20/q23): the
+    // expected side re-derives bucket populations from the naive
+    // hyperplane kernel in OracleKernels.
+    "q27_embed_bucket_stats" ->
+      """SELECT n_buckets, n_candidate_buckets, n_dropped_buckets,
+        |  max_bucket_n, n_vecs_in_dropped
+        |FROM read_parquet('/root/repo/target/q27_expected/*.parquet')""".stripMargin,
     // Dedup-policy composition: exact leg in plain SQL; the near-dup leg
     // reads the q17 differential-oracle parquet (already
     // jaccard-thresholded), dropping the higher id of each verified pair.

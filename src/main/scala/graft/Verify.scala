@@ -59,8 +59,21 @@ object Verify {
     try {
       import spark.implicits._
       import htmlspark.pipeline.{PagesGen, TextOps}
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-        .select("doc_id", "text").collect()
+      // Guard the driver-bounded oracle collects (ADVICE r3 / VERDICT r3
+      // wrong #3): a future large-sf run must fail with a message, not OOM
+      // the driver. The kernels are O(n²) in places — the cap is generous
+      // for every shipped sf (sf0.1 documents = 5k) and hostile to misuse.
+      def guardedCollect(path: String, cols: Seq[String]): Array[org.apache.spark.sql.Row] = {
+        val df = spark.read.parquet(path).select(cols.map(col): _*)
+        val n = df.count()
+        require(n <= 100000L,
+          s"oracle collect guard: $path has $n rows (> 100000) — " +
+            "OracleKernels expectations are driver-bounded by design; " +
+            "run Verify at a smaller sf or raise the guard deliberately")
+        df.collect()
+      }
+      val docs = guardedCollect(s"$sfDir/documents.parquet",
+        Seq("doc_id", "text"))
         .map(r => (r.getLong(0), r.getString(1))).toSeq
       val q15 = OracleKernels.expectedLshPairs(docs, TextOps.NumPerm,
         TextOps.BandSize, TextOps.ShingleK, TextOps.MaxBucket)
@@ -82,13 +95,13 @@ object Verify {
         TextOps.BandSize, TextOps.ShingleK, TextOps.MaxBucket,
         TextOps.JaccardThreshold)
         .toDF("doc_a", "doc_b", "n_inter", "n_a", "n_b")
-      val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
-        .select("vec_id", "embedding").collect()
+      val vecs = guardedCollect(s"$sfDir/embeddings.parquet",
+        Seq("vec_id", "embedding"))
         .map(r => (r.getLong(0),
           r.getSeq[Float](1).toArray)).toSeq
       import htmlspark.pipeline.AnnOps.{DefaultQueries, DefaultK,
         DefaultPlanes, DefaultTables, DefaultCells, DefaultProbe,
-        DefaultNearDupN}
+        DefaultNearDupN, MaxEmbedBucket}
       val q19 = OracleKernels.expectedAnnLsh(vecs, DefaultQueries, DefaultK,
         DefaultPlanes, DefaultTables)
         .toDF("query_id", "neighbor_id", "rank")
@@ -96,19 +109,26 @@ object Verify {
         DefaultCells, DefaultProbe)
         .toDF("query_id", "neighbor_id", "rank")
       val q25 = OracleKernels.expectedEmbedNearDup(vecs, DefaultNearDupN,
-        DefaultPlanes, DefaultTables)
+        DefaultPlanes, DefaultTables, MaxEmbedBucket)
         .toDF("vec_a", "vec_b")
+      val q27 = Seq(OracleKernels.expectedEmbedBucketStats(vecs,
+        DefaultPlanes, DefaultTables, MaxEmbedBucket))
+        .toDF("n_buckets", "n_candidate_buckets", "n_dropped_buckets",
+          "max_bucket_n", "n_vecs_in_dropped")
       // p07's frame fan-out depends ONLY on the generator's blob length
       // (stub-free): the expected face derives from PagesGen.mediaLen —
-      // a real oracle on the UDTF/flatMap row-blowup shape.
-      val frameCounts = (0L until 1000L).map { i =>
+      // a real oracle on the UDTF/flatMap row-blowup shape. Corpus size is
+      // the SAME constant frameSample uses (ADVICE r3 — no silent drift).
+      val frameN = htmlspark.pipeline.MultimodalOps.FrameCorpusN
+      val frameCounts = (0L until frameN).map { i =>
         math.min(16L, math.max(PagesGen.mediaLen(i) / 512L, 1L)) }
-      val p07 = Seq((1000L, frameCounts.sum, frameCounts.max))
+      val p07 = Seq((frameN, frameCounts.sum, frameCounts.max))
         .toDF("n_docs", "n_frames_total", "max_frames_per_doc")
       Seq("q15_expected" -> q15, "q16_expected" -> q16, "q17_expected" -> q17,
         "q19_expected" -> q19, "q20_expected" -> q20,
         "q22_expected" -> q22, "q23_expected" -> q23,
         "q24_expected" -> q24, "q25_expected" -> q25,
+        "q27_expected" -> q27,
         "p07_expected" -> p07).foreach {
         case (name, exp) =>
           exp.orderBy(exp.columns.sorted.map(col).toIndexedSeq: _*)

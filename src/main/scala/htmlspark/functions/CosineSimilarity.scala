@@ -71,6 +71,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val aa = ctx.freshName("aa")
       val bb = ctx.freshName("bb")
       val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -79,9 +81,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $ab = 0.0, $aa = 0.0, $bb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    double x = (double) $a.getFloat($i);
-         |    double y = (double) $b.getFloat($i);
-         |    $ab += x * y; $aa += x * x; $bb += y * y;
+         |    double $x = (double) $a.getFloat($i);
+         |    double $y = (double) $b.getFloat($i);
+         |    $ab += $x * $y; $aa += $x * $x; $bb += $y * $y;
          |  }
          |  if (!${ev.isNull}) {
          |    ${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));

@@ -126,10 +126,15 @@ object MultimodalOps {
         max(col("width")).cast("long").as("max_w"))
   }
 
+  /** Frame-sampling corpus size — ONE constant shared with the Verify-side
+    * p07 oracle derivation (ADVICE r3: two hardcoded 1000Ls could silently
+    * drift, turning the oracle into a false failure or a vacuous pass). */
+  val FrameCorpusN = 1000L
+
   /** Driver-contract query: frame-sampling fan-out shape. */
   def frameSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val n = 1000L
+    val n = FrameCorpusN
     sampleFrames(mediaCorpus(spark, n))
       .groupBy("url")
       .agg(count(lit(1)).as("n_frames"),

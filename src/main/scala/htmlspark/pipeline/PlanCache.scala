@@ -49,9 +49,24 @@ private[pipeline] object PlanCache {
       java.util.UUID.randomUUID().toString
     })
 
-  def getOrBuild(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    cache.getOrElseUpdate((sessionId(spark), key),
-      build.persist(StorageLevel.MEMORY_AND_DISK))
+  def getOrBuild(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val k = (sessionId(spark), key)
+    cache.get(k) match {
+      case Some(df) => df
+      case None =>
+        // build-then-putIfAbsent (not getOrElseUpdate): under a concurrent
+        // race TrieMap.getOrElseUpdate can evaluate the by-name build twice
+        // and strand the losing DataFrame persisted with no unpersist
+        // handle (ADVICE r3). The loser here is unpersisted immediately.
+        val built = build.persist(StorageLevel.MEMORY_AND_DISK)
+        cache.putIfAbsent(k, built) match {
+          case Some(winner) =>
+            try built.unpersist(false) catch { case _: Throwable => () }
+            winner
+          case None => built
+        }
+    }
+  }
 
   /** Unpersist and drop this session's entries. Read-only on the id map:
     * a session that never built anything is a no-op (no id minting, no

@@ -112,6 +112,62 @@ class SketchRecallSpec extends AnyFunSuite {
       f"multi-probe recall $recallMp%.2f below single-probe $recall%.2f")
   }
 
+  test("embed near-dup cap drops degenerate buckets but keeps planted " +
+       "near-dup recall (q25/q27)") {
+    import spark.implicits._
+    // Synthetic corpus with a known structure: 200 background vectors,
+    // 10 planted near-dup pairs (v, v + tiny noise → cosine ≈ 0.9999),
+    // and a DEGENERATE CLUSTER of 100 near-identical vectors — the
+    // boilerplate-embedding shape that would explode the self-join
+    // (100·99/2 pairs per table) without the MaxEmbedBucket cap.
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val dim = 16
+    def rand(seed: Long): Array[Float] =
+      Array.tabulate(dim)(d =>
+        ((Math.floorMod(mix(seed * 131 + d), 2000001L) - 1000000L) / 1000000.0f))
+    def noisy(v: Array[Float], seed: Long, eps: Float): Array[Float] =
+      v.zip(rand(seed)).map { case (x, r) => x + r * eps }
+    val background = (0L until 200L).map(i => (i, rand(i), 0))
+    val planted = (0 until 10).flatMap { k =>
+      val v = rand(10000L + k)
+      Seq((1000L + 2 * k, v, 1), (1001L + 2 * k, noisy(v, 20000L + k, 1e-4f), 1))
+    }
+    val clusterDir = rand(555L)
+    val cluster = (0 until 100).map(c =>
+      (2000L + c, noisy(clusterDir, 30000L + c, 1e-5f), 2))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_embcap_").toString
+    (background ++ planted ++ cluster)
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+
+    // The stats face must account for the dropped cluster ("no silent
+    // caps"): the 100-member cluster lands in ONE bucket per table, far
+    // over the cap of 64.
+    val stats = AnnOps.embedBucketStats(spark, tmp).collect()(0)
+    assert(stats.getAs[Long]("n_dropped_buckets") > 0,
+      "degenerate cluster produced no dropped buckets — cap not exercised")
+    assert(stats.getAs[Long]("n_vecs_in_dropped") >= 90,
+      s"expected ~100 cluster vectors in dropped buckets, got " +
+        s"${stats.getAs[Long]("n_vecs_in_dropped")}")
+    assert(stats.getAs[Long]("max_bucket_n") >= 90)
+
+    // The cap must NOT cost planted-near-dup recall: every planted pair
+    // sits in small (in-cap) buckets and must survive into the top-n.
+    val got = AnnOps.embedNearDup(spark, tmp, n = 25)
+      .as[(Long, Long)].collect().toSet
+    val expectedPlanted = (0 until 10)
+      .map(k => (1000L + 2 * k, 1001L + 2 * k)).toSet
+    val missed = expectedPlanted -- got
+    assert(missed.isEmpty,
+      s"cap lost planted near-dup pairs: ${missed.mkString(", ")}")
+    TextOps.clearPlanCache(spark)
+  }
+
   test("IVF-ANN recall floor vs brute-force cosine top-k, and probing " +
        "more cells can only help") {
     import spark.implicits._
