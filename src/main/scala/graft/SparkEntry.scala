@@ -57,6 +57,8 @@ object SparkEntry {
     "p07_frame_sample"   -> (MultimodalOps.frameSample _),
     "p12_media_sniff"    -> (MultimodalOps.mediaSniff _),
     "p13_token_profile"  -> (PagesQueries.tokenProfile _),
+    "p14_error_codes"    -> (PagesQueries.errorCodes _),
+    "p15_top_error_codes" -> (PagesQueries.topErrorCodes _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -287,6 +289,23 @@ object SparkEntry {
       """SELECT n_fps, n_candidate_fps, n_dropped_fps, max_fp_n,
         |  n_docs_in_dropped
         |FROM read_parquet('/root/repo/target/q23_expected/*.parquet')""".stripMargin,
+    // Per-url parse-error-code oracle: expected codes are class-constant,
+    // derived from the template's markup shape (PagesGen
+    // .expectedErrorCodesFor — foster text, adoption agency, obsolete
+    // doctype) with no parser on that side.
+    "p14_error_codes" ->
+      """SELECT url, codes
+        |FROM read_parquet('/root/repo/target/p14_expected/*.parquet')""".stripMargin,
+    // Top-error-codes lineage face: DuckDB re-aggregates the SAME
+    // per-url expected codes (split + unnest) — one expected parquet
+    // gates both the per-url and the aggregate face.
+    "p15_top_error_codes" ->
+      """SELECT code, count(*) AS n_occurrences,
+        |  count(DISTINCT url) AS n_docs
+        |FROM (SELECT url, unnest(string_split(codes, ',')) AS code
+        |      FROM read_parquet('/root/repo/target/p14_expected/*.parquet')
+        |      WHERE codes <> '') t
+        |GROUP BY 1""".stripMargin,
     // Token-profile oracle: DuckDB runs the SAME class regexes over the
     // template-derived expected text — parse+extract+tokenize end-to-end.
     "p13_token_profile" ->

@@ -42,7 +42,8 @@ object Verify {
         "p10_expected" -> htmlspark.pipeline.PagesGen.expectedTableDocs(spark, n),
         "p11_expected" -> htmlspark.pipeline.PagesGen.expectedAllDocs(spark, n),
         "p12_expected" -> htmlspark.pipeline.PagesGen.expectedMediaMeta(spark, n),
-        "p13_expected" -> htmlspark.pipeline.PagesGen.expectedTextDocs(spark, n)
+        "p13_expected" -> htmlspark.pipeline.PagesGen.expectedTextDocs(spark, n),
+        "p14_expected" -> htmlspark.pipeline.PagesGen.expectedErrorDocs(spark, n)
       ).foreach { case (name, exp) =>
         exp.orderBy(exp.columns.sorted.map(col).toIndexedSeq: _*)
           .coalesce(1).write.mode("overwrite")

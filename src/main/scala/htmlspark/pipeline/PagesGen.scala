@@ -394,6 +394,40 @@ object PagesGen {
     (quirks, charset, source, restarted, late)
   }
 
+  /** Template-derived expected parse-error CODES per content index
+    * (sorted, comma-joined; "" = clean parse). Class-constant by
+    * construction: each class's markup shape determines its code multiset
+    * regardless of the sentence randomness —
+    *  - table class: the "misplaced " run is ONE non-whitespace character
+    *    flush inside <table> → one foster-parenting error;
+    *  - misnested class: `</b>` with <i> current runs the adoption agency
+    *    (fe-not-current) and the second <a> implies an a-in-a error;
+    *  - quirks class: the HTML 3.2 public id is an obsolete doctype;
+    *  - every other class parses clean (implied end tags and RCDATA
+    *    handling are NOT errors). */
+  def expectedErrorCodesFor(ci: Long): String = {
+    val cls = pick(mix(ci), 100)
+    if (cls < 60) ""
+    else if (cls < 70) "non-ws-chars-in-table"
+    else if (cls < 78) "adoption-agency-fe-not-current,nested-a"
+    else if (cls < 86) ""
+    else if (cls < 90) "obsolete-doctype"
+    else ""
+  }
+
+  /** (url, codes) expected rows for the p14 per-url error-code oracle
+    * (dedup-aware like every expected face). */
+  def expectedErrorDocs(spark: SparkSession, n: Long): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, 8)
+      .map { boxed =>
+        val i = boxed.longValue
+        (s"https://synth.example/${i % 97}/$i.html",
+          expectedErrorCodesFor(survivorContentIdx(i, n)))
+      }
+      .toDF("url", "codes")
+  }
+
   def expectedDocMeta(spark: SparkSession, n: Long): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     spark.range(0, n, 1, 8)

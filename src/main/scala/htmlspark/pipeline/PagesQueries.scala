@@ -108,6 +108,26 @@ object PagesQueries {
       .select(col("url"), col("quirks_mode"), col("charset"),
         col("charset_source"), col("restarted"), col("late_meta"))
 
+  /** Per-url parse-error codes (p14): the triage face — which documents
+    * trip which parser error paths. Codes are sorted at parse time, so the
+    * comma-join is deterministic; oracle = PagesGen.expectedErrorCodesFor,
+    * class-constant expectations derived from the template's markup shape
+    * with no parser involved. */
+  def errorCodes(spark: SparkSession, dir: String): DataFrame =
+    parsedSample(spark, dir)
+      .select(col("url"), array_join(col("error_codes"), ",").as("codes"))
+
+  /** Top error codes (p15): the explode+count lineage face a pipeline
+    * triages with ("which 0.1% of the crawl trips X?"). Oracled via DuckDB
+    * re-aggregating the SAME template-derived per-url expected codes p14
+    * reads — one expected parquet serves both faces. */
+  def topErrorCodes(spark: SparkSession, dir: String): DataFrame =
+    parsedSample(spark, dir)
+      .select(col("url"), explode(col("error_codes")).as("code"))
+      .groupBy("code")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("url")).as("n_docs"))
+
   /** Stable parse-quality metrics (error counts per quirks/charset class). */
   def parseMetrics(spark: SparkSession, dir: String): DataFrame = {
     parsedSample(spark, dir)
@@ -162,6 +182,7 @@ object PagesQueries {
         sum("n_failed").as("n_failed"),
         sum("n_restarted").as("n_restarted"),
         sum("n_late_meta").as("n_late_meta"),
+        sum("n_error_docs").as("n_error_docs"),
         sum("sum_errors").as("sum_errors"))
   }
 

@@ -19,6 +19,12 @@ final case class ExtractedDoc(
     n_bytes: Int,
     n_chars: Int,
     n_parse_errors: Int,
+    // per-doc parse-error CODES (sorted, builder-capped at 64): the triage
+    // column SURVEY §1.2 promises — "which 0.1% of the crawl trips
+    // adoption-agency-fe-not-open?" needs codes, not counts (reference
+    // counterpart: the ParserErrorEventArgs event channel,
+    // Core/TreeBuilder.cs:171-192)
+    error_codes: Seq[String],
     quirks_mode: String,
     restarted: Boolean,
     late_meta: Boolean,
@@ -37,6 +43,7 @@ final case class PartitionMetrics(
     n_failed: Long,
     n_restarted: Long,
     n_late_meta: Long,
+    n_error_docs: Long,
     sum_bytes: Long,
     sum_errors: Long,
     min_url: String,
@@ -88,6 +95,7 @@ object ParseJob {
         charset = sniff.charset, charset_source = sniff.source,
         n_bytes = bytes.length, n_chars = text.length,
         n_parse_errors = result.nErrors,
+        error_codes = result.errorCodes.sorted,
         quirks_mode = result.quirksMode match {
           case 0 => "no-quirks"; case 1 => "limited-quirks"; case _ => "quirks"
         },
@@ -97,7 +105,7 @@ object ParseJob {
     } catch {
       case e: Throwable =>
         ExtractedDoc(p.url, p.warc_ts, p.lang, "", "", "", bytes.length, 0, 0,
-          "", restarted = false, late_meta = false, parse_ok = false,
+          Nil, "", restarted = false, late_meta = false, parse_ok = false,
           error = s"${e.getClass.getSimpleName}: ${e.getMessage}",
           parse_us = (System.nanoTime() - t0) / 1000)
     }
@@ -321,6 +329,8 @@ object ParseJob {
         sum(when(col("parse_ok"), 0L).otherwise(1L)).as("n_failed"),
         sum(when(col("restarted"), 1L).otherwise(0L)).as("n_restarted"),
         sum(when(col("late_meta"), 1L).otherwise(0L)).as("n_late_meta"),
+        sum(when(col("n_parse_errors") > 0, 1L).otherwise(0L))
+          .as("n_error_docs"),
         sum(col("n_bytes").cast("long")).as("sum_bytes"),
         sum(col("n_parse_errors").cast("long")).as("sum_errors"),
         min(col("url")).as("min_url"),

@@ -568,6 +568,13 @@ final class TreeBuilder extends TokenSink {
     if (stopped) return
     ignoreLF = false // see startTag: only the NEXT token's LF is skipped
     if (mode == INITIAL) {
+      // spec (initial insertion mode): any doctype other than
+      // `<!doctype html>` — optionally with system id
+      // "about:legacy-compat" — is a parse error (reference counterpart:
+      // the TreeBuilder error event channel, Core/TreeBuilder.cs:397-646)
+      if (name != "html" || publicId != null || forceQuirks ||
+          (systemId != null && !systemId.equalsIgnoreCase("about:legacy-compat")))
+        err("obsolete-doctype")
       doc.appendChild(DomNode.doctype(name, publicId, systemId))
       quirksMode = decideQuirks(name, publicId, systemId, forceQuirks)
       mode = BEFORE_HTML
