@@ -255,11 +255,46 @@ object OracleKernels {
     dotAB / (math.sqrt(dotAA) * math.sqrt(dotBB))
   }
 
-  /** q24: IVF ANN — centroids are the first nCells vectors; candidates
-    * live in the query's nProbe max-cosine cells; rank exact cosine. */
+  /** Naive Lloyd k-means with the SAME definition as the production
+    * quantizer (init = first k, max-cosine assignment with lowest-index
+    * ties, per-dim double mean accumulated in sample order, empty cell
+    * keeps its centroid) but a different mechanism: per-cell filtered
+    * folds instead of one fused assignment loop with preallocated
+    * accumulator matrices. Identical addition ORDER → bit-identical
+    * centroids, so cell assignments agree exactly. */
+  private def naiveKmeans(sample: Seq[Array[Float]], k: Int,
+                          iters: Int): Seq[Array[Float]] = {
+    val kk = math.min(k, sample.size)
+    if (kk == 0) return Seq.empty
+    val dim = sample.head.length
+    def assign(v: Array[Float], cents: Seq[Array[Float]]): Int =
+      cents.zipWithIndex.map { case (c, i) => (cosine(v, c), i) }
+        .sortBy { case (c, i) => (-c, i) }.head._2
+    (1 to iters).foldLeft(sample.take(kk)) { (cents, _) =>
+      val assigned = sample.map(v => assign(v, cents))
+      (0 until kk).map { c =>
+        val members = sample.zip(assigned).collect { case (v, a) if a == c => v }
+        if (members.isEmpty) cents(c)
+        else {
+          val sums = members.foldLeft(new Array[Double](dim)) { (acc, v) =>
+            (0 until dim).foreach(d => acc(d) += v(d)); acc
+          }
+          Array.tabulate(dim)(d => (sums(d) / members.size).toFloat)
+        }
+      }
+    }
+  }
+
+  /** q24: IVF ANN — centroids from the naive sampled k-means (or first
+    * nCells when untrained); candidates live in the query's nProbe
+    * max-cosine cells; rank exact cosine. */
   def expectedAnnIvf(vecs: Seq[(Long, Array[Float])], nQueries: Int, k: Int,
-                     nCells: Int, nProbe: Int): Seq[(Long, Long, Long)] = {
-    val centroids = vecs.sortBy(_._1).take(nCells).map(_._2)
+                     nCells: Int, nProbe: Int, trained: Boolean = true,
+                     sampleCap: Int = 2048, iters: Int = 8): Seq[(Long, Long, Long)] = {
+    val ordered = vecs.sortBy(_._1).map(_._2)
+    val centroids =
+      if (trained) naiveKmeans(ordered.take(sampleCap), nCells, iters)
+      else ordered.take(nCells)
     def cellScores(v: Array[Float]): Seq[(Double, Int)] =
       centroids.zipWithIndex.map { case (c, i) => (cosine(v, c), i) }
     val cellOf = vecs.map { case (id, v) =>

@@ -102,12 +102,13 @@ object Verify {
           r.getSeq[Float](1).toArray)).toSeq
       import htmlspark.pipeline.AnnOps.{DefaultQueries, DefaultK,
         DefaultPlanes, DefaultTables, DefaultCells, DefaultProbe,
-        DefaultNearDupN, MaxEmbedBucket}
+        DefaultNearDupN, MaxEmbedBucket, IvfSampleCap, IvfKmeansIters}
       val q19 = OracleKernels.expectedAnnLsh(vecs, DefaultQueries, DefaultK,
         DefaultPlanes, DefaultTables)
         .toDF("query_id", "neighbor_id", "rank")
       val q24 = OracleKernels.expectedAnnIvf(vecs, DefaultQueries, DefaultK,
-        DefaultCells, DefaultProbe)
+        DefaultCells, DefaultProbe, trained = true,
+        sampleCap = IvfSampleCap, iters = IvfKmeansIters)
         .toDF("query_id", "neighbor_id", "rank")
       val q25 = OracleKernels.expectedEmbedNearDup(vecs, DefaultNearDupN,
         DefaultPlanes, DefaultTables, MaxEmbedBucket)

@@ -28,6 +28,13 @@ object AnnOps {
   val DefaultProbe = 4
   val DefaultNearDupN = 25
 
+  /** IVF quantizer training bounds: the k-means sample is the `IvfSampleCap`
+    * lowest-id vectors (driver-bounded collect — the broadcast-dim-table
+    * pattern, NOT a corpus collect; at 100 TB this is a seeded reservoir
+    * sample instead) refined for `IvfKmeansIters` Lloyd iterations. */
+  val IvfSampleCap = 2048
+  val IvfKmeansIters = 8
+
   /** Degenerate-bucket cap for the q25 pair-generating self-join (VERDICT
     * r3 "What's wrong #1" — the one pair-generating op that shipped without
     * the MaxBucket/WinnowMaxDf analogue). With 2^nPlanes buckets per table,
@@ -208,28 +215,33 @@ object AnnOps {
   /** IVF (inverted-file) ANN — the second scale path next to hyperplane
     * LSH (brief: "an IVF or LSH-bucketed variant as the scale path").
     *
-    * Coarse quantizer: the first `nCells` corpus vectors serve as
-    * centroids — deterministic and training-free (a trained k-means would
-    * drop in at the same seam; the *search* shape is what matters here).
-    * Every vector is assigned to its max-cosine centroid in ONE narrow
-    * typed-map pass (no shuffle); queries probe their `nProbe` nearest
-    * cells and the exact cosine + top-k runs only on those cells'
-    * members. At 100 TB: the assignment is written bucketed-by-cell once
-    * per corpus snapshot, and a query touches ~nProbe/nCells of the data
-    * — the centroid table is O(nCells × dim), always broadcastable. */
+    * Coarse quantizer: deterministic sampled k-means (Sketches
+    * .kmeansCentroids — fixed iterations, no RNG) over the IvfSampleCap
+    * lowest-id vectors; `trained = false` falls back to the round-3
+    * first-nCells seam. Every vector is assigned to its max-cosine
+    * centroid in ONE narrow typed-map pass (no shuffle); queries probe
+    * their `nProbe` nearest cells and the exact cosine + top-k runs only
+    * on those cells' members. At 100 TB: the assignment is written
+    * bucketed-by-cell once per corpus snapshot, and a query touches
+    * ~nProbe/nCells of the data — the centroid table is O(nCells × dim),
+    * always broadcastable. */
   def annIvf(spark: SparkSession, dir: String,
              nQueries: Int = DefaultQueries, k: Int = DefaultK,
-             nCells: Int = DefaultCells, nProbe: Int = DefaultProbe): DataFrame = {
+             nCells: Int = DefaultCells, nProbe: Int = DefaultProbe,
+             trained: Boolean = true): DataFrame = {
     import spark.implicits._
     val emb = table(spark, dir, "embeddings")
-    // centroid fetch is driver-bounded BY DESIGN: nCells rows (≈ the
-    // broadcast-dimension-table pattern, not a corpus collect)
-    // the nCells LOWEST ids, not filter(id < nCells): robust to id gaps
-    // (a filtered/compacted snapshot), and exactly what the differential
+    // centroid-sample fetch is driver-bounded BY DESIGN (≤ IvfSampleCap
+    // rows ≈ the broadcast-dimension-table pattern, not a corpus collect);
+    // the LOWEST ids, not filter(id < cap): robust to id gaps (a
+    // filtered/compacted snapshot), and exactly what the differential
     // oracle computes on its side
-    val centroids: Array[Array[Float]] = emb
-      .orderBy("vec_id").limit(nCells)
+    val sample: Array[Array[Float]] = emb
+      .orderBy("vec_id").limit(if (trained) IvfSampleCap else nCells)
       .select("embedding").as[Array[Float]].collect()
+    val centroids: Array[Array[Float]] =
+      if (trained) Sketches.kmeansCentroids(sample, nCells, IvfKmeansIters)
+      else sample.take(nCells)
     val assigned = emb.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .map { case (id, v) => (id, v, Sketches.ivfAssign(v, centroids)) }
