@@ -1064,6 +1064,10 @@ final class TreeBuilder extends TokenSink {
       true
     case "template" =>
       insertHtmlElement(name, attrs)
+      // spec: a template ELEMENT always has its template-contents
+      // DocumentFragment from creation — an empty <template></template>
+      // still dumps a "content" node (html5lib tree format)
+      templateContents(current)
       afeInsertMarker(); framesetOk = false
       mode = IN_TEMPLATE; templateModes += IN_TEMPLATE
       true
