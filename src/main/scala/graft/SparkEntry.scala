@@ -195,6 +195,14 @@ object SparkEntry {
         |FROM inter
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b""".stripMargin,
+    // FLAGSHIP face fully oracled (round 4 — was rows-only): every
+    // deterministic column p01 emits (text md5, char count, error count,
+    // quirks, charset/source, restart flag, ok flag) is checked against
+    // the template-derived expected rows; only runtime timing stays out.
+    "p01_extract" ->
+      """SELECT url, text_md5, n_chars, n_parse_errors, quirks_mode,
+        |  charset, charset_source, restarted, parse_ok
+        |FROM read_parquet('/root/repo/target/p01_expected/*.parquet')""".stripMargin,
     // Flagship-path oracle: Verify materializes the template-derived
     // expected rows (PagesGen.expectedPlainDocs — parser-independent) to a
     // fixed parquet path; DuckDB reads them back. A mismatch vs the Spark

@@ -35,7 +35,6 @@ object EncodingSniffer {
     EncodingLabels.labelToName.get(label) match {
       case Some("UTF-16BE") | Some("UTF-16LE") => "UTF-8"
       case Some("x-user-defined") => "windows-1252"
-      case Some("ISO-8859-10") | Some("ISO-8859-14") => null
       case Some(name) => name
       case None => null
     }
@@ -75,6 +74,12 @@ object EncodingSniffer {
     // iso-2022-* smuggling attacks): the entire stream decodes to ONE
     // replacement character
     if (sniffResult.charset == "replacement") return "�"
+    // the two registry encodings the JDK lacks decode via generated
+    // tables (identity below 0xA0, WHATWG single-byte index above)
+    if (sniffResult.charset == "ISO-8859-10")
+      return decodeHighTable(bytes, sniffResult.bomBytes, EncodingLabels.Iso885910High)
+    if (sniffResult.charset == "ISO-8859-14")
+      return decodeHighTable(bytes, sniffResult.bomBytes, EncodingLabels.Iso885914High)
     val jdkName = EncodingLabels.nameToJdk
       .getOrElse(sniffResult.charset, sniffResult.charset)
     val cs = try Charset.forName(jdkName)
@@ -129,6 +134,21 @@ object EncodingSniffer {
     0x0090, 0x2018, 0x2019, 0x201C, 0x201D, 0x2022, 0x2013, 0x2014,
     0x02DC, 0x2122, 0x0161, 0x203A, 0x0153, 0x009D, 0x017E, 0x0178
   ).map(_.toChar)
+
+  /** Single-byte table decode for encodings whose 0x00-0x9F range is
+    * identity (ISO-8859 family): total, never U+FFFD. */
+  private def decodeHighTable(bytes: Array[Byte], offset: Int,
+                              high: String): String = {
+    val n = bytes.length - offset
+    val out = new Array[Char](math.max(n, 0))
+    var i = 0
+    while (i < n) {
+      val b = bytes(offset + i) & 0xFF
+      out(i) = if (b < 0xA0) b.toChar else high.charAt(b - 0xA0)
+      i += 1
+    }
+    new String(out)
+  }
 
   def decodeWindows1252(bytes: Array[Byte], offset: Int): String = {
     val n = bytes.length - offset

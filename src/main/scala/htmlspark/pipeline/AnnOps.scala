@@ -150,6 +150,16 @@ object AnnOps {
     * driver gate checks. At 100 TB: the bucketed table is written once,
     * the self-join co-locates by bucket, and a pair is scored at most
     * once per shared table before the cross-table collapse. */
+  /** Per-(table_id, bucket) population counts — persisted once per
+    * (session, dir, params) and shared by q25's cap join and q27's stats
+    * face (one aggregation pass serves both, the q15/q20 pattern). */
+  private def bucketSizes(spark: SparkSession, dir: String,
+                          nPlanes: Int, nTables: Int): DataFrame =
+    PlanCache.getOrBuild(spark, s"annbucketsizes:$dir:$nPlanes:$nTables")(
+      lshBuckets(spark, dir, nPlanes, nTables)
+        .groupBy("table_id", "bucket")
+        .agg(count(lit(1)).as("bucket_n")))
+
   def embedNearDup(spark: SparkSession, dir: String, n: Int = DefaultNearDupN,
                    nPlanes: Int = DefaultPlanes, nTables: Int = DefaultTables,
                    maxBucket: Int = MaxEmbedBucket): DataFrame = {
@@ -158,8 +168,7 @@ object AnnOps {
     // only (table_id, bucket) groups of 2..maxBucket members join; a
     // boilerplate-cluster bucket with thousands of members is dropped here
     // and surfaced by embedBucketStats instead of exploding the self-join.
-    val sizes = bucketed.groupBy("table_id", "bucket")
-      .agg(count(lit(1)).as("bucket_n"))
+    val sizes = bucketSizes(spark, dir, nPlanes, nTables)
       .filter(col("bucket_n") > 1 && col("bucket_n") <= maxBucket)
     val bounded = bucketed.join(sizes.select("table_id", "bucket"),
       Seq("table_id", "bucket"))
@@ -195,8 +204,7 @@ object AnnOps {
                        nPlanes: Int = DefaultPlanes, nTables: Int = DefaultTables,
                        maxBucket: Int = MaxEmbedBucket): DataFrame = {
     val bucketed = lshBuckets(spark, dir, nPlanes, nTables)
-    val sizes = bucketed.groupBy("table_id", "bucket")
-      .agg(count(lit(1)).as("bucket_n"))
+    val sizes = bucketSizes(spark, dir, nPlanes, nTables)
     val bucketAgg = sizes.agg(
       count(lit(1)).as("n_buckets"),
       sum(when(col("bucket_n") > 1 && col("bucket_n") <= maxBucket, 1L)

@@ -428,6 +428,35 @@ object PagesGen {
       .toDF("url", "codes")
   }
 
+  /** Full expected row set for the FLAGSHIP face (p01): text md5 +
+    * char count + error count + encoding/quirks metadata per url, all
+    * derived from the template (fullExpectedText × expectedMetaFor ×
+    * expectedErrorCodesFor) — promotes p01 from a rows-only runtime face
+    * to a hard DuckDB oracle over every deterministic column it emits. */
+  def expectedExtractDocs(spark: SparkSession, n: Long): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, md5, length}
+    spark.range(0, n, 1, 8)
+      .flatMap { boxed =>
+        val i = boxed.longValue
+        val ci = survivorContentIdx(i, n)
+        fullExpectedText(ci).map { text =>
+          val (quirks, charset, source, restarted, _) = expectedMetaFor(ci)
+          val codes = expectedErrorCodesFor(ci)
+          val nErr = if (codes.isEmpty) 0L else codes.count(_ == ',') + 1L
+          (s"https://synth.example/${i % 97}/$i.html", text, nErr, quirks,
+            charset, source, restarted, true)
+        }
+      }
+      .toDF("url", "expected_text", "n_parse_errors", "quirks_mode",
+        "charset", "charset_source", "restarted", "parse_ok")
+      .select(col("url"),
+        md5(col("expected_text").cast("binary")).as("text_md5"),
+        length(col("expected_text")).cast("long").as("n_chars"),
+        col("n_parse_errors"), col("quirks_mode"), col("charset"),
+        col("charset_source"), col("restarted"), col("parse_ok"))
+  }
+
   def expectedDocMeta(spark: SparkSession, n: Long): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     spark.range(0, n, 1, 8)

@@ -36,7 +36,9 @@ object PagesQueries {
   def extractPipeline(spark: SparkSession, dir: String, cap: Long = 5000): DataFrame =
     parsedSample(spark, dir, cap)
       .select(col("url"), md5(col("text_extracted").cast("binary")).as("text_md5"),
-        col("n_chars"), col("n_parse_errors"), col("quirks_mode"),
+        col("n_chars").cast("long").as("n_chars"),
+        col("n_parse_errors").cast("long").as("n_parse_errors"),
+        col("quirks_mode"),
         col("charset"), col("charset_source"), col("restarted"), col("parse_ok"))
 
   /** Flagship ORACLE face (driver DuckDB-checkable): per-url md5 of the

@@ -51,8 +51,8 @@ class EncodingSnifferSpec extends AnyFunSuite {
       "x-user-defined" -> "windows-1252", // spec meta rule
       "hz-gb-2312" -> "replacement",      // spec smuggling defense
       "iso-2022-kr" -> "replacement",
-      "iso-8859-10" -> null,              // no JDK decoder → unrecognized
-      "iso-8859-14" -> null)
+      "latin6" -> "ISO-8859-10",          // table-decoded (no JDK charset)
+      "iso-8859-14" -> "ISO-8859-14")
     cases.foreach { case (in, want) =>
       assert(EncodingSniffer.normalizeLabel(in) == want, s"label $in")
     }
@@ -73,6 +73,20 @@ class EncodingSnifferSpec extends AnyFunSuite {
     val text = EncodingSniffer.decode(bytes, s)
     assert(text.contains(arabic), "Arabic text must survive byte-exact")
     assert(!text.contains('�'))
+  }
+
+  test("ISO-8859-10/-14 decode via generated tables (no JDK charset)") {
+    // spot values from the public single-byte indexes: 8859-10 Nordic
+    // (0xA1=Ą, 0xBF=ŋ, 0xD0=Ð, 0xFF=ĸ), 8859-14 Celtic (0xA1=Ḃ,
+    // 0xBF=ṡ, 0xD0=Ŵ, 0xFF=ÿ); ASCII + C1 below 0xA0 are identity.
+    def dec(name: String, bs: Int*): String =
+      EncodingSniffer.decode(bs.map(_.toByte).toArray,
+        EncodingSniffer.Sniff(name, EncodingSniffer.SourceMeta, 0))
+    assert(dec("ISO-8859-10", 'A', 0xA1, 0xBF, 0xD0, 0xFF) ==
+      "AĄŋÐĸ")
+    assert(dec("ISO-8859-14", 'A', 0xA1, 0xBF, 0xD0, 0xFF) ==
+      "AḂṡŴÿ")
+    assert(!dec("ISO-8859-10", 0x80, 0x9F).contains('�'))
   }
 
   test("replacement-encoding labels decode the whole stream to one U+FFFD") {

@@ -10,9 +10,11 @@ egress, so the data is embedded rather than fetched; it is the same public
 dataset pattern as gen_entities.py.
 
 JDK notes (probed on the build JDK, 17):
- - ISO-8859-10 and ISO-8859-14 have NO JDK decoder -> mapped to None;
-   EncodingSniffer treats their labels as unrecognized (same behavior the
-   C# reference exhibits on a runtime without the codepage).
+ - ISO-8859-10 and ISO-8859-14 have NO JDK decoder -> mapped to None in
+   nameToJdk; instead this script emits their 0xA0-0xFF decode tables
+   (generated from Python's stdlib iso8859_10/iso8859_14 codecs, which
+   carry the same public single-byte index the WHATWG spec publishes),
+   and EncodingSniffer table-decodes them like windows-1252.
  - WHATWG Shift_JIS index == Windows code page 932 -> JDK windows-31j.
  - WHATWG EUC-KR index == Windows code page 949 -> JDK x-windows-949.
  - WHATWG windows-874 -> JDK x-windows-874 (TIS-620 + C1-range additions).
@@ -119,6 +121,12 @@ assert len(label_pairs) == len({l for l, _ in label_pairs}), "dup label"
 
 jdk_pairs = [(n, j) for n, (_, j) in REGISTRY.items() if j is not None]
 
+high = bytes(range(0xA0, 0x100))
+def high_table(codec):
+    s = high.decode(codec)
+    assert len(s) == 96 and all(ord(c) < 0x10000 for c in s)
+    return "".join(f"\\u{ord(c):04X}" for c in s)
+
 def fmt_pairs(pairs, indent):
     lines, cur = [], ""
     for k, v in pairs:
@@ -149,11 +157,20 @@ object EncodingLabels {{
     {fmt_pairs(label_pairs, 4)})
 
   /** Canonical encoding name -> JDK charset name. Absent keys
-    * (ISO-8859-10, ISO-8859-14: no JDK decoder; replacement,
+    * (ISO-8859-10, ISO-8859-14: table-decoded below; replacement,
     * x-user-defined: never decoded via a JDK charset) are handled by
     * EncodingSniffer. */
   val nameToJdk: Map[String, String] = Map(
     {fmt_pairs(jdk_pairs, 4)})
+
+  /** 0xA0-0xFF decode tables for the two registry encodings the JDK
+    * lacks (bytes < 0xA0 are identity incl. C1, per the WHATWG
+    * single-byte index); generated from the public ISO-8859-10/-14
+    * mappings (Python stdlib codecs). */
+  val Iso885910High: String =
+    "{high_table('iso8859_10')}"
+  val Iso885914High: String =
+    "{high_table('iso8859_14')}"
 }}
 """
 
