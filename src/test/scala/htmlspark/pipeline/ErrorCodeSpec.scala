@@ -34,6 +34,26 @@ class ErrorCodeSpec extends AnyFunSuite {
       .contains("obsolete-doctype"))
   }
 
+  test("targeted call sites emit their frozen codes") {
+    import htmlspark.tree.HtmlParser
+    def codes(html: String): Seq[String] =
+      HtmlParser.parse(html).errorCodes.sorted
+    // beyond the generator classes: one pin per err() family a triage
+    // query would group by (vocabulary freeze — see FIXTURES.md)
+    assert(codes("<table><colgroup>x</table>") == Seq("non-ws-chars-in-table"))
+    assert(codes("<head></head><head>") == Seq("nested-head"))
+    assert(codes("<body></body><div>x") == Seq("start-after-body"))
+    assert(codes("<template><div>") == Seq("eof-in-template"))
+    assert(codes("<table><tbody><td>x") == Seq("cell-without-tr"))
+    assert(codes("<form><form><input>") == Seq("nested-form"))
+    assert(codes("<p>x<!DOCTYPE html>") == Seq("unexpected-doctype"))
+    assert(codes("<body></body>x") == Seq("chars-after-body"))
+    assert(codes("<frameset></frameset>x<frame>") ==
+      Seq("chars-in-frameset", "unexpected-start-after-frameset"))
+    assert(codes("<select><table>x") == Seq("unexpected-start-in-select"))
+    assert(codes("<noscript>") == Seq("eof-in-head-noscript"))
+  }
+
   test("failed parse carries empty codes, ok=false") {
     val d = ParseJob.parsePage(Page("u", new java.sql.Timestamp(0L),
       null, "", ""))
