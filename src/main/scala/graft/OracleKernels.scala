@@ -290,7 +290,11 @@ object OracleKernels {
     * max-cosine cells; rank exact cosine. */
   def expectedAnnIvf(vecs: Seq[(Long, Array[Float])], nQueries: Int, k: Int,
                      nCells: Int, nProbe: Int, trained: Boolean = true,
-                     sampleCap: Int = 2048, iters: Int = 8): Seq[(Long, Long, Long)] = {
+                     // defaults REFERENCE the operator's published params —
+                     // literals here would re-create the silent-drift hazard
+                     // the FrameCorpusN fix removed (ADVICE r3 #4)
+                     sampleCap: Int = htmlspark.pipeline.AnnOps.IvfSampleCap,
+                     iters: Int = htmlspark.pipeline.AnnOps.IvfKmeansIters): Seq[(Long, Long, Long)] = {
     val ordered = vecs.sortBy(_._1).map(_._2)
     val centroids =
       if (trained) naiveKmeans(ordered.take(sampleCap), nCells, iters)

@@ -25,10 +25,10 @@ object EncodingSniffer {
     * mojibake). Unknown label → null. Two spec post-rules apply to
     * in-document declarations: utf-16 family → UTF-8 (the bytes decoded as
     * an ASCII superset to reach the meta, so the label lies), and
-    * x-user-defined → windows-1252. ISO-8859-10/-14 have no JDK decoder →
-    * treated as unrecognized, matching the reference's behavior for
-    * labels its runtime lacks (Core/Tokenizer.cs:2020-2035 accepts only
-    * runtime-supported encodings). */
+    * x-user-defined → windows-1252. ISO-8859-10/-14 have no JDK decoder;
+    * their labels normalize here and decode() table-decodes them via the
+    * generated EncodingLabels.Iso8859*High tables, so every registry
+    * label resolves. */
   def normalizeLabel(label0: String): String = {
     if (label0 == null) return null
     val label = label0.trim.toLowerCase

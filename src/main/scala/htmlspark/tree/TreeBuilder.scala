@@ -570,10 +570,12 @@ final class TreeBuilder extends TokenSink {
     if (mode == INITIAL) {
       // spec (initial insertion mode): any doctype other than
       // `<!doctype html>` — optionally with system id
-      // "about:legacy-compat" — is a parse error (reference counterpart:
-      // the TreeBuilder error event channel, Core/TreeBuilder.cs:397-646)
+      // "about:legacy-compat", a CASE-SENSITIVE match per the spec's
+      // default string-comparison rule — is a parse error (reference
+      // counterpart: the TreeBuilder error event channel,
+      // Core/TreeBuilder.cs:397-646)
       if (name != "html" || publicId != null || forceQuirks ||
-          (systemId != null && !systemId.equalsIgnoreCase("about:legacy-compat")))
+          (systemId != null && systemId != "about:legacy-compat"))
         err("obsolete-doctype")
       doc.appendChild(DomNode.doctype(name, publicId, systemId))
       quirksMode = decideQuirks(name, publicId, systemId, forceQuirks)

@@ -26,7 +26,9 @@ class ErrorCodeSpec extends AnyFunSuite {
       HtmlParser.parse(html).errorCodes.sorted
     assert(codes("<!DOCTYPE html><p>x</p>") == Nil)
     assert(codes("<!DOCTYPE html SYSTEM \"about:legacy-compat\"><p>x</p>") == Nil)
-    assert(codes("<!DOCTYPE html SYSTEM \"ABOUT:LEGACY-COMPAT\"><p>x</p>") == Nil)
+    // case-SENSITIVE per the spec's default string-comparison rule
+    assert(codes("<!DOCTYPE html SYSTEM \"ABOUT:LEGACY-COMPAT\"><p>x</p>")
+      .contains("obsolete-doctype"))
     assert(codes("<!DOCTYPE HTML PUBLIC \"-//W3C//DTD HTML 4.01//EN\" " +
       "\"http://www.w3.org/TR/html4/strict.dtd\"><p>x</p>")
       .contains("obsolete-doctype"))
@@ -54,9 +56,9 @@ class ErrorCodeSpec extends AnyFunSuite {
     assert(codes("<noscript>") == Seq("eof-in-head-noscript"))
   }
 
-  test("failed parse carries empty codes, ok=false") {
+  test("null html parses as a clean empty doc with no codes") {
     val d = ParseJob.parsePage(Page("u", new java.sql.Timestamp(0L),
       null, "", ""))
-    assert(d.parse_ok && d.error_codes.isEmpty) // null html → empty doc, ok
+    assert(d.parse_ok && d.error_codes.isEmpty)
   }
 }
