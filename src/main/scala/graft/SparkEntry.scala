@@ -59,6 +59,7 @@ object SparkEntry {
     "p13_token_profile"  -> (PagesQueries.tokenProfile _),
     "p14_error_codes"    -> (PagesQueries.errorCodes _),
     "p15_top_error_codes" -> (PagesQueries.topErrorCodes _),
+    "p16_parse_latency"  -> (PagesQueries.parseLatency _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -297,6 +298,14 @@ object SparkEntry {
       """SELECT n_fps, n_candidate_fps, n_dropped_fps, max_fp_n,
         |  n_docs_in_dropped
         |FROM read_parquet('/root/repo/target/q23_expected/*.parquet')""".stripMargin,
+    // Parse-metrics oracle (round 4 — was rows-only): the runtime latency
+    // percentiles moved to p16, so every remaining p02 column is
+    // template-derivable and aggregated on the expected side by
+    // PagesGen.expectedParseMetrics.
+    "p02_parse_metrics" ->
+      """SELECT quirks_mode, charset_source, n_docs, sum_errors,
+        |  n_late_meta, n_failed, sum_bytes
+        |FROM read_parquet('/root/repo/target/p02_expected/*.parquet')""".stripMargin,
     // Per-url parse-error-code oracle: expected codes are class-constant,
     // derived from the template's markup shape (PagesGen
     // .expectedErrorCodesFor — foster text, adoption agency, obsolete

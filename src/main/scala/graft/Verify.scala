@@ -38,6 +38,7 @@ object Verify {
       val n = htmlspark.pipeline.PagesQueries.sampleN(spark, sfDir)
       Seq(
         "p01_expected" -> htmlspark.pipeline.PagesGen.expectedExtractDocs(spark, n),
+        "p02_expected" -> htmlspark.pipeline.PagesGen.expectedParseMetrics(spark, n),
         "p08_expected" -> htmlspark.pipeline.PagesGen.expectedPlainDocs(spark, n),
         "p09_expected" -> htmlspark.pipeline.PagesGen.expectedDocMeta(spark, n),
         "p10_expected" -> htmlspark.pipeline.PagesGen.expectedTableDocs(spark, n),

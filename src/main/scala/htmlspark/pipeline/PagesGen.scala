@@ -457,6 +457,31 @@ object PagesGen {
         col("charset_source"), col("restarted"), col("parse_ok"))
   }
 
+  /** Template-derived expected rows for the p02 metrics face: the SAME
+    * per-url expectations p09/p14 pin (quirks/source/late/error count)
+    * plus the rendered byte length, aggregated per (quirks_mode,
+    * charset_source) exactly like ParseJob's metrics aggregation. */
+  def expectedParseMetrics(spark: SparkSession, n: Long): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+    spark.range(0, n, 1, 8)
+      .map { boxed =>
+        val i = boxed.longValue
+        val ci = survivorContentIdx(i, n)
+        val (quirks, _, source, _, late) = expectedMetaFor(ci)
+        val codes = expectedErrorCodesFor(ci)
+        val nErr = if (codes.isEmpty) 0L else codes.count(_ == ',') + 1L
+        (quirks, source, nErr, late, renderHtml(ci).length.toLong)
+      }
+      .toDF("quirks_mode", "charset_source", "n_err", "late", "n_bytes")
+      .groupBy("quirks_mode", "charset_source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_err")).as("sum_errors"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late_meta"),
+        sum(lit(0L)).as("n_failed"), // total parse: no row can fail
+        sum(col("n_bytes")).as("sum_bytes"))
+  }
+
   def expectedDocMeta(spark: SparkSession, n: Long): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     spark.range(0, n, 1, 8)

@@ -130,7 +130,11 @@ object PagesQueries {
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("url")).as("n_docs"))
 
-  /** Stable parse-quality metrics (error counts per quirks/charset class). */
+  /** Stable parse-quality metrics (error counts per quirks/charset
+    * class). Deterministic columns ONLY since round 4 — the runtime
+    * latency percentiles moved to p16 so THIS face sits under the hard
+    * DuckDB gate (expected side: PagesGen.expectedParseMetrics, the same
+    * template-derived per-url values p09/p11/p14 already pin, aggregated). */
   def parseMetrics(spark: SparkSession, dir: String): DataFrame = {
     parsedSample(spark, dir)
       .groupBy("quirks_mode", "charset_source")
@@ -138,7 +142,16 @@ object PagesQueries {
         sum(col("n_parse_errors").cast("long")).as("sum_errors"),
         sum(when(col("late_meta"), 1L).otherwise(0L)).as("n_late_meta"),
         sum(when(col("parse_ok"), 0L).otherwise(1L)).as("n_failed"),
-        sum(col("n_bytes").cast("long")).as("sum_bytes"),
+        sum(col("n_bytes").cast("long")).as("sum_bytes"))
+  }
+
+  /** Parse-latency percentiles (p16) — the UDAF/percentile_approx surface
+    * (SURVEY §2.7), split from p02: latency is runtime-dependent, so this
+    * stays a rows-only face by design. */
+  def parseLatency(spark: SparkSession, dir: String): DataFrame = {
+    parsedSample(spark, dir)
+      .groupBy("quirks_mode")
+      .agg(count(lit(1)).as("n_docs"),
         percentile_approx(col("parse_us"), lit(0.5), lit(1000))
           .as("parse_us_p50"),
         percentile_approx(col("parse_us"), lit(0.99), lit(1000))
