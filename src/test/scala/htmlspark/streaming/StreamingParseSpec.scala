@@ -72,6 +72,58 @@ class StreamingParseSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("latest-wins streaming dedup emits the batch survivor on watermark " +
+       "expiry (flatMapGroupsWithState)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[htmlspark.pipeline.Page]
+    val out = StreamingParse.dedupLatestStream(input.toDS(), lateness = "1 hour")
+    val q = out.select($"url", $"warc_ts").writeStream
+      .format("memory").queryName("latest_out").outputMode("append").start()
+    try {
+      val a0 = PagesGen.page(3L) // url .../3.html
+      val aLater = a0.copy(
+        warc_ts = new java.sql.Timestamp(a0.warc_ts.getTime + 86400000L),
+        html = PagesGen.renderHtml(3L ^ 0xbeef))
+      val b = PagesGen.page(4L)
+      // batch 1: both crawls of A (either order) + B. A's later crawl
+      // drives the watermark to (a0+1d − 1h), which already passes B's
+      // timeout — B may emit in the follow-up micro-batch — but A's own
+      // timeout (a0+1d+1ms) is still ahead of the watermark, so A must
+      // NOT emit yet.
+      input.addData(Seq(aLater, a0, b))
+      q.processAllAvailable()
+      assert(spark.sql(s"select count(*) c from latest_out where url = '${a0.url}'")
+        .collect()(0).getLong(0) == 0L,
+        "A emitted before its watermark expiry")
+      // two far-future events: the first advances the watermark past A/B's
+      // timeout timestamps, the second triggers the batch in which the
+      // timeouts actually fire (watermark is computed from the PREVIOUS
+      // batch's max event time)
+      input.addData(Seq(PagesGen.page(5L).copy(
+        warc_ts = new java.sql.Timestamp(a0.warc_ts.getTime + 10L * 86400000L))))
+      q.processAllAvailable()
+      input.addData(Seq(PagesGen.page(6L).copy(
+        warc_ts = new java.sql.Timestamp(a0.warc_ts.getTime + 20L * 86400000L))))
+      q.processAllAvailable()
+      val rows = spark.sql("select url, warc_ts from latest_out")
+        .as[(String, java.sql.Timestamp)].collect().toMap
+      assert(rows.contains(a0.url) && rows.contains(b.url),
+        s"expected A and B emitted, got ${rows.keys}")
+      // A must be the LATER crawl — the same survivor batch dedupLatest picks
+      assert(rows(a0.url).getTime == aLater.warc_ts.getTime,
+        "latest-wins must emit the re-crawl, not the first arrival")
+      // the streaming tiebreak must be bit-identical to the batch
+      // strategies' xxhash64(html) or tied (url, warc_ts) pairs could pick
+      // different survivors across the streaming/batch boundary
+      val sparkHash = spark.createDataset(Seq(a0))
+        .select(org.apache.spark.sql.functions.xxhash64($"html"))
+        .as[Long].collect()(0)
+      assert(StreamingParse.htmlTie(a0.html) == sparkHash,
+        "htmlTie must mirror Spark's xxhash64")
+    } finally q.stop()
+  }
+
   test("incremental crawl ingestion: file source + checkpoint restart " +
        "processes each batch exactly once") {
     import spark.implicits._
