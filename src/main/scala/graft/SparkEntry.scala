@@ -201,7 +201,7 @@ object SparkEntry {
     // quirks, charset/source, restart flag, ok flag) is checked against
     // the template-derived expected rows; only runtime timing stays out.
     "p01_extract" ->
-      """SELECT url, text_md5, n_chars, n_parse_errors, quirks_mode,
+      """SELECT url, text_md5, n_chars, n_nodes, n_parse_errors, quirks_mode,
         |  charset, charset_source, restarted, parse_ok
         |FROM read_parquet('/root/repo/target/p01_expected/*.parquet')""".stripMargin,
     // Flagship-path oracle: Verify materializes the template-derived

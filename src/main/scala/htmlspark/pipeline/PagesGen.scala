@@ -428,6 +428,47 @@ object PagesGen {
       .toDF("url", "codes")
   }
 
+  /** Template-derived expected ELEMENT count per content index (the
+    * n_nodes structural metric): wrapper = html + head + title + body
+    * (+ the charset meta unless the class is undeclared), plus the
+    * class's body elements — including everything tree construction
+    * synthesizes or clones (implied tbody, the AFE reconstruction clone
+    * in the misnested class). A divergence means the DOM's SHAPE broke
+    * even if the extracted text survived. */
+  def expectedNodeCountFor(ci: Long): Long = {
+    val h = mix(ci)
+    val cls = pick(h, 100)
+    val charsetClass = if (cls >= 93 && cls < 96) pick(mix(h + 18), 12) else -1
+    // classes 5 and 7 are UNDECLARED (no meta element at all)
+    val wrapper = if (charsetClass == 5 || charsetClass == 7) 4L else 5L
+    val body: Long =
+      if (cls < 60) { // h1 + nP×(p + a) + ul + 2×li
+        val nP = 3 + pick(mix(h + 1), 5)
+        1L + 2L * nP + 3L
+      } else if (cls < 70) { // table + implied tbody + nR×(tr + 2×td) + p
+        val nR = 2 + pick(mix(h + 3), 6)
+        3L + 3L * nR
+      } else if (cls < 78) {
+        // p,b,i + the i clone the AFE reconstruction creates after the
+        // adoption agency pops </b>; a + a (a-in-a closes the first);
+        // the b×4 run (Noah's Ark caps the AFE list, not insertions)
+        10L
+      } else if (cls < 86) { // script, style, p, textarea, pre, code
+        6L
+      } else if (cls < 90) { // quirks wrapper: one paragraph
+        1L
+      } else if (cls < 93) { // svg+title+circle, math+mi+mo+mn, p
+        8L
+      } else if (cls < 96) { // charset classes: one paragraph
+        1L
+      } else if (cls < 98) { // unclosed div tower
+        200L + pick(mix(h + 14), 1800)
+      } else { // one p per rep
+        200L + pick(mix(h + 16), 800)
+      }
+    wrapper + body
+  }
+
   /** Full expected row set for the FLAGSHIP face (p01): text md5 +
     * char count + error count + encoding/quirks metadata per url, all
     * derived from the template (fullExpectedText × expectedMetaFor ×
@@ -444,15 +485,17 @@ object PagesGen {
           val (quirks, charset, source, restarted, _) = expectedMetaFor(ci)
           val codes = expectedErrorCodesFor(ci)
           val nErr = if (codes.isEmpty) 0L else codes.count(_ == ',') + 1L
-          (s"https://synth.example/${i % 97}/$i.html", text, nErr, quirks,
+          (s"https://synth.example/${i % 97}/$i.html", text,
+            expectedNodeCountFor(ci), nErr, quirks,
             charset, source, restarted, true)
         }
       }
-      .toDF("url", "expected_text", "n_parse_errors", "quirks_mode",
+      .toDF("url", "expected_text", "n_nodes", "n_parse_errors", "quirks_mode",
         "charset", "charset_source", "restarted", "parse_ok")
       .select(col("url"),
         md5(col("expected_text").cast("binary")).as("text_md5"),
         length(col("expected_text")).cast("long").as("n_chars"),
+        col("n_nodes"),
         col("n_parse_errors"), col("quirks_mode"), col("charset"),
         col("charset_source"), col("restarted"), col("parse_ok"))
   }

@@ -37,6 +37,7 @@ object PagesQueries {
     parsedSample(spark, dir, cap)
       .select(col("url"), md5(col("text_extracted").cast("binary")).as("text_md5"),
         col("n_chars").cast("long").as("n_chars"),
+        col("n_nodes").cast("long").as("n_nodes"),
         col("n_parse_errors").cast("long").as("n_parse_errors"),
         col("quirks_mode"),
         col("charset"), col("charset_source"), col("restarted"), col("parse_ok"))

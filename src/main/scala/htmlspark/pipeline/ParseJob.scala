@@ -18,6 +18,9 @@ final case class ExtractedDoc(
     charset_source: String,
     n_bytes: Int,
     n_chars: Int,
+    // element-node count of the parsed DOM (template contents included) —
+    // the structural size metric SURVEY §1.2 promises next to the text
+    n_nodes: Int,
     n_parse_errors: Int,
     // per-doc parse-error CODES (sorted, builder-capped at 64): the triage
     // column SURVEY §1.2 promises — "which 0.1% of the crawl trips
@@ -94,6 +97,7 @@ object ParseJob {
         text_extracted = text,
         charset = sniff.charset, charset_source = sniff.source,
         n_bytes = bytes.length, n_chars = text.length,
+        n_nodes = htmlspark.tree.DomNode.countElements(result.doc),
         n_parse_errors = result.nErrors,
         error_codes = result.errorCodes.sorted,
         quirks_mode = result.quirksMode match {
@@ -105,7 +109,7 @@ object ParseJob {
     } catch {
       case e: Throwable =>
         ExtractedDoc(p.url, p.warc_ts, p.lang, "", "", "", bytes.length, 0, 0,
-          Nil, "", restarted = false, late_meta = false, parse_ok = false,
+          0, Nil, "", restarted = false, late_meta = false, parse_ok = false,
           error = s"${e.getClass.getSimpleName}: ${e.getMessage}",
           parse_us = (System.nanoTime() - t0) / 1000)
     }

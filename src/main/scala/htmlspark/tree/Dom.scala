@@ -118,6 +118,25 @@ object DomNode {
     n
   }
 
+  /** Element-node count of a (sub)tree, template content fragments
+    * included — the `n_nodes` structural metric (SURVEY §1.2). Iterative:
+    * survives the adversarially-deep pathological class. */
+  def countElements(root: DomNode): Int = {
+    var n = 0
+    var stack: List[DomNode] = root :: Nil
+    while (stack.nonEmpty) {
+      val node = stack.head; stack = stack.tail
+      if (node.kind == Dom.ELEMENT) n += 1
+      if (node.kind == Dom.ELEMENT && node.contentFragment != null)
+        stack = node.contentFragment :: stack
+      if (node.children != null) {
+        var i = node.children.length - 1
+        while (i >= 0) { stack = node.children(i) :: stack; i -= 1 }
+      }
+    }
+    n
+  }
+
   /** html5lib tree-construction dump format ("| "-indented), used by the
     * conformance specs. Template contents get the "content" pseudo-node. */
   def dump(root: DomNode): String = dumpSubtree(root, 0)
