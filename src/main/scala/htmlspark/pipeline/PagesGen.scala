@@ -415,6 +415,14 @@ object PagesGen {
     else ""
   }
 
+  /** Error COUNT from the codes string — one shared derivation for every
+    * expected face that needs it (p01, p02), so the encoding of
+    * expectedErrorCodesFor can never silently diverge between oracles. */
+  def expectedErrorCountFor(ci: Long): Long = {
+    val codes = expectedErrorCodesFor(ci)
+    if (codes.isEmpty) 0L else codes.count(_ == ',') + 1L
+  }
+
   /** (url, codes) expected rows for the p14 per-url error-code oracle
     * (dedup-aware like every expected face). */
   def expectedErrorDocs(spark: SparkSession, n: Long): org.apache.spark.sql.DataFrame = {
@@ -483,10 +491,8 @@ object PagesGen {
         val ci = survivorContentIdx(i, n)
         fullExpectedText(ci).map { text =>
           val (quirks, charset, source, restarted, _) = expectedMetaFor(ci)
-          val codes = expectedErrorCodesFor(ci)
-          val nErr = if (codes.isEmpty) 0L else codes.count(_ == ',') + 1L
           (s"https://synth.example/${i % 97}/$i.html", text,
-            expectedNodeCountFor(ci), nErr, quirks,
+            expectedNodeCountFor(ci), expectedErrorCountFor(ci), quirks,
             charset, source, restarted, true)
         }
       }
@@ -512,9 +518,8 @@ object PagesGen {
         val i = boxed.longValue
         val ci = survivorContentIdx(i, n)
         val (quirks, _, source, _, late) = expectedMetaFor(ci)
-        val codes = expectedErrorCodesFor(ci)
-        val nErr = if (codes.isEmpty) 0L else codes.count(_ == ',') + 1L
-        (quirks, source, nErr, late, renderHtml(ci).length.toLong)
+        (quirks, source, expectedErrorCountFor(ci), late,
+          renderHtml(ci).length.toLong)
       }
       .toDF("quirks_mode", "charset_source", "n_err", "late", "n_bytes")
       .groupBy("quirks_mode", "charset_source")
