@@ -44,6 +44,7 @@ object SparkEntry {
     "q22_winnow_pairs"   -> ((s, d) => TextOps.winnowPairs(s, d)),
     "q23_winnow_stats"   -> ((s, d) => TextOps.winnowFpStats(s, d)),
     "q27_embed_bucket_stats" -> ((s, d) => AnnOps.embedBucketStats(s, d)),
+    "q28_quality_filter" -> ((s, d) => TextOps.qualityFilter(s, d)),
     "p01_extract"        -> ((s, d) => PagesQueries.extractPipeline(s, d)),
     "p08_plain_text_md5" -> (PagesQueries.plainTextMd5 _),
     "p09_doc_meta"       -> (PagesQueries.docMeta _),
@@ -155,6 +156,20 @@ object SparkEntry {
     "q13_fingerprint" ->
       """SELECT doc_id, substr(md5(lower(text)), 1, 16) AS fp16
         |FROM documents""".stripMargin,
+    // C4-style quality keep/drop composition — integer cross-product
+    // ratio comparisons so both engines agree exactly.
+    "q28_quality_filter" ->
+      """SELECT doc_id,
+        |  CASE WHEN n < 200 THEN 'too_short'
+        |       WHEN p * 100 > n * 10 THEN 'too_much_punct'
+        |       WHEN d * 100 > n * 20 THEN 'too_many_digits'
+        |       WHEN u * 100 > n * 30 THEN 'too_much_upper'
+        |       ELSE 'keep' END AS decision
+        |FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+        |        CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS p,
+        |        CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS d,
+        |        CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS u
+        |      FROM documents) t""".stripMargin,
     "q14_embed_stats" ->
       """SELECT label, count(*) AS n,
         |  CAST(min(len(embedding)) AS BIGINT) AS min_dim,

@@ -67,6 +67,38 @@ object TextOps {
         nMatching("[A-Z]").as("n_upper"))
   }
 
+  /** C4-style quality KEEP/DROP filter — the composition face of the
+    * quality signals (q12): a doc is kept iff it is long enough and its
+    * punctuation/digit/uppercase ratios stay under thresholds. Ratios are
+    * compared as integer cross-products (n × Max vs len × limit) so the
+    * DuckDB oracle agrees exactly — no floating-point division. The
+    * thresholds are the usual web-corpus defaults, exposed for tuning. */
+  val QfMinChars = 200L
+  val QfMaxPunctPct = 10L  // n_punct / n_chars ≤ 10%
+  val QfMaxDigitPct = 20L
+  val QfMaxUpperPct = 30L
+
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    def nMatching(pattern: String): Column =
+      (length(col("text")) -
+        length(regexp_replace(col("text"), lit(pattern), lit(""))))
+        .cast("long")
+    table(spark, dir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars3"),
+        nMatching("[.,!?;:]").as("n_punct"),
+        nMatching("[0-9]").as("n_digits"),
+        nMatching("[A-Z]").as("n_upper"))
+      .select(col("doc_id"),
+        when(col("n_chars3") < QfMinChars, "too_short")
+          .when(col("n_punct") * 100L > col("n_chars3") * QfMaxPunctPct,
+            "too_much_punct")
+          .when(col("n_digits") * 100L > col("n_chars3") * QfMaxDigitPct,
+            "too_many_digits")
+          .when(col("n_upper") * 100L > col("n_chars3") * QfMaxUpperPct,
+            "too_much_upper")
+          .otherwise("keep").as("decision"))
+  }
+
   /** Content fingerprint (normalized md5 prefix) for cheap near-exact dedup. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
