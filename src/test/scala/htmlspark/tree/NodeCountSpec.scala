@@ -23,4 +23,23 @@ class NodeCountSpec extends AnyFunSuite {
     // html, head, template, p, body
     assert(DomNode.countElements(r.doc) == 5)
   }
+
+  test("counter agrees with the dump's element lines on random soup") {
+    // independent derivation: an element is exactly a dump line whose
+    // payload starts with '<' but is not a comment/doctype line
+    val rng = new scala.util.Random(20260817L)
+    val bits = Array("<div>", "</div>", "<template>", "</template>", "<p>",
+      "<table>", "<tr>", "<td>", "</table>", "<svg>", "<circle/>", "</svg>",
+      "text ", "<b>", "</b>", "<!--c-->", "&amp;", "<li>", "<select>",
+      "<option>", "</select>", "<math>", "<mi>", "</math>")
+    (0 until 200).foreach { _ =>
+      val html = (0 until rng.nextInt(40)).map(_ => bits(rng.nextInt(bits.length))).mkString
+      val doc = HtmlParser.parse(html).doc
+      val fromDump = DomNode.dump(doc).linesIterator.count { l =>
+        val t = l.dropWhile(c => c == '|' || c == ' ')
+        t.startsWith("<") && !t.startsWith("<!--") && !t.startsWith("<!DOCTYPE")
+      }
+      assert(DomNode.countElements(doc) == fromDump, s"soup: $html")
+    }
+  }
 }
