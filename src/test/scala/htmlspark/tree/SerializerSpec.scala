@@ -75,6 +75,45 @@ class SerializerSpec extends AnyFunSuite {
     assert(checked > 250, s"only $checked/400 soups were hazard-free")
   }
 
+  test("reparse stability across every authored tree-construction vector") {
+    // blanket sweep: the 477-vector corpus is exactly the adversarial
+    // input set — every hazard-free tree it produces must round-trip
+    val dir = new java.io.File("src/test/resources/tree-construction")
+    var checked = 0
+    for (f <- dir.listFiles().filter(_.getName.endsWith(".dat"))) {
+      val lines = scala.io.Source.fromFile(f, "UTF-8").getLines().toVector
+      var i = 0
+      while (i < lines.length) {
+        if (lines(i) == "#data") {
+          val data = new StringBuilder
+          i += 1
+          var first = true
+          while (i < lines.length && !lines(i).startsWith("#")) {
+            if (!first) data.append('\n')
+            data.append(lines(i)); first = false; i += 1
+          }
+          // skip fragment cases (serialization context differs)
+          var isFragment = false
+          var j = i
+          while (j < lines.length && lines(j) != "#data" && !isFragment) {
+            if (lines(j) == "#document-fragment") isFragment = true
+            j += 1
+          }
+          if (!isFragment) {
+            val d1 = HtmlParser.parse(data.toString).doc
+            if (HtmlSerializer.roundTrips(d1)) {
+              checked += 1
+              val d2 = HtmlParser.parse(HtmlSerializer.serialize(d1)).doc
+              assert(DomNode.dump(d2) == DomNode.dump(d1),
+                s"${f.getName}: ${data.toString.take(60)}")
+            }
+          }
+        } else i += 1
+      }
+    }
+    assert(checked > 200, s"only $checked vector trees were hazard-free")
+  }
+
   test("reparse stability across the generator corpus") {
     val engine = new HtmlParser.Engine
     var checked = 0
