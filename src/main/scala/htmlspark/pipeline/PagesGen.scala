@@ -92,6 +92,9 @@ object PagesGen {
       // the very common <pre><code>\n shape: the LF follows an intervening
       // start tag, so it must be KEPT (needToDropLF resets per token)
       body.append(s"<pre><code>\n${sentence(h + 60, 3)}</code></pre>")
+      // template machinery under the full-corpus gates: its subtree is
+      // EXCLUDED from extraction (frozen rule) but counts in n_nodes
+      body.append(s"<template><p>${sentence(h + 61, 2)}</p></template>")
     } else if (cls < 90) { // quirks doctype handled in wrapper below
       body.append(s"<p>${para(h + 11, 2)}</p>")
     } else if (cls < 93) { // foreign content
@@ -461,8 +464,10 @@ object PagesGen {
         // adoption agency pops </b>; a + a (a-in-a closes the first);
         // the b×4 run (Noah's Ark caps the AFE list, not insertions)
         10L
-      } else if (cls < 86) { // script, style, p, textarea, pre, code
-        6L
+      } else if (cls < 86) {
+        // script, style, p, textarea, pre, code + template & its p
+        // (template contents count in n_nodes though they never extract)
+        8L
       } else if (cls < 90) { // quirks wrapper: one paragraph
         1L
       } else if (cls < 93) { // svg+title+circle, math+mi+mo+mn, p
