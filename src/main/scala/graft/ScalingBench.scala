@@ -39,7 +39,7 @@ object ScalingBench {
     // the dedup/salt plan legitimately reads the source more than once.
     import spark.implicits._
     val corpusDir = sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark") +
-      s"/pages_corpus_$n"
+      s"/pages_corpus_v${PagesGen.GeneratorVersion}_$n"
     if (!new java.io.File(corpusDir + "/_SUCCESS").exists()) {
       PagesGen.pages(spark, n, cores * 4).write
         .mode("overwrite").parquet(corpusDir)

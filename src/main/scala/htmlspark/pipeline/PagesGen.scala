@@ -16,6 +16,13 @@ final case class Page(url: String, warc_ts: Timestamp, html: Array[Byte],
   */
 object PagesGen {
 
+  /** Bumped whenever renderHtml's output changes for ANY index — cached
+    * benchmark corpora key on it (ScalingBench), so a stale materialized
+    * corpus can never silently serve a bench after a generator change
+    * (round-4 lesson: the template-class addition post-dated the recorded
+    * scaling legs; see BENCH.md §8 note). */
+  val GeneratorVersion = 4
+
   /** splitmix64 — deterministic per-index pseudo-randomness. */
   private def mix(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L

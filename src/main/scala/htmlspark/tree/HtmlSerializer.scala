@@ -64,20 +64,48 @@ object HtmlSerializer {
   }
 
   /** Serialize the CHILDREN of `root` (fragment serialization; pass the
-    * document node for whole-document output). Iterative — survives the
+    * document node for whole-document output, or an element for the
+    * spec's innerHTML-style fragment case — rawtext/template/pre-LF
+    * context of the root itself is honored). Iterative — survives the
     * pathological-deep class. */
   def serialize(root: DomNode): String = {
     val sb = new java.lang.StringBuilder(256)
     // action stack: Left(node) = emit node, Right(name) = emit end tag
     var stack: List[Either[DomNode, String]] = Nil
-    def pushChildren(n: DomNode, raw: DomNode => DomNode = identity): Unit = {
-      val host = raw(n)
-      if (host.children != null) {
-        var i = host.children.length - 1
-        while (i >= 0) { stack = Left(host.children(i)) :: stack; i -= 1 }
+    def pushChildren(n: DomNode): Unit =
+      if (n.children != null) {
+        var i = n.children.length - 1
+        while (i >= 0) { stack = Left(n.children(i)) :: stack; i -= 1 }
+      }
+    // contents of an element context: template → its content fragment;
+    // rawtext → children raw; otherwise escaped text + the pre-LF guard
+    def pushContents(n: DomNode): Unit = {
+      val isHtmlNs = n.kind != Dom.ELEMENT || n.ns == Dom.NS_HTML
+      val contents =
+        if (n.kind == Dom.ELEMENT && n.contentFragment != null) n.contentFragment
+        else n
+      if (n.kind == Dom.ELEMENT && isHtmlNs && RawTextElements.contains(n.name)) {
+        pushChildren(contents)
+      } else {
+        if (n.kind == Dom.ELEMENT && isHtmlNs &&
+            (n.name == "pre" || n.name == "textarea" || n.name == "listing") &&
+            contents.children != null && contents.children.nonEmpty &&
+            contents.children(0).kind == Dom.TEXT &&
+            contents.children(0).text.length > 0 &&
+            contents.children(0).text.charAt(0) == '\n')
+          sb.append('\n')
+        if (contents.children != null) {
+          var i = contents.children.length - 1
+          while (i >= 0) {
+            val c = contents.children(i)
+            if (c.kind == Dom.TEXT) stack = Left(escapedTextNode(c)) :: stack
+            else stack = Left(c) :: stack
+            i -= 1
+          }
+        }
       }
     }
-    pushChildren(root)
+    pushContents(root)
     while (stack.nonEmpty) {
       val action = stack.head; stack = stack.tail
       action match {
@@ -108,40 +136,11 @@ object HtmlSerializer {
               }
             }
             sb.append('>')
-            val isHtmlNs = n.ns == Dom.NS_HTML
-            if (isHtmlNs && VoidElements.contains(n.name)) {
+            if (n.ns == Dom.NS_HTML && VoidElements.contains(n.name)) {
               // void: no children, no end tag
             } else {
               stack = Right(n.name) :: stack
-              val contents =
-                if (n.contentFragment != null) n.contentFragment else n
-              if (isHtmlNs && RawTextElements.contains(n.name)) {
-                // raw text: children are text nodes, emitted unescaped
-                // (TEXT case appends n.text directly — raw by default;
-                // escaping is applied only via the escaped-text wrapper)
-                pushChildren(contents)
-              } else {
-                // pre/textarea/listing: re-add the LF the parser dropped
-                if (isHtmlNs &&
-                    (n.name == "pre" || n.name == "textarea" || n.name == "listing") &&
-                    contents.children != null && contents.children.nonEmpty &&
-                    contents.children(0).kind == Dom.TEXT &&
-                    contents.children(0).text.length > 0 &&
-                    contents.children(0).text.charAt(0) == '\n')
-                  sb.append('\n')
-                // escaped text: wrap text children so TEXT emits escaped
-                if (contents.children != null) {
-                  var i = contents.children.length - 1
-                  while (i >= 0) {
-                    val c = contents.children(i)
-                    if (c.kind == Dom.TEXT) {
-                      // emit escaped text via a dedicated action
-                      stack = Left(escapedTextNode(c)) :: stack
-                    } else stack = Left(c) :: stack
-                    i -= 1
-                  }
-                }
-              }
+              pushContents(n)
             }
         }
       }
@@ -153,10 +152,8 @@ object HtmlSerializer {
   // TEXT kind but tag via a sentinel name to keep the action stack simple.
   private def escapedTextNode(t: DomNode): DomNode = {
     val n = new DomNode(Dom.TEXT, "#text-escaped", Dom.NS_HTML, null)
-    n.text = new java.lang.StringBuilder(t.text.length)
-    var sb = new java.lang.StringBuilder(t.text.length + 8)
-    escapeText(t.text, sb)
-    n.text.append(sb)
+    n.text = new java.lang.StringBuilder(t.text.length + 8)
+    escapeText(t.text, n.text)
     n
   }
 
@@ -179,6 +176,11 @@ object HtmlSerializer {
         case Dom.COMMENT =>
           val t = n.text.toString
           if (t.contains("--") || t.endsWith("-")) ok = false
+        case Dom.DOCTYPE =>
+          // the id-emitting extension quotes ids with `"` — an id
+          // containing one cannot round-trip
+          if ((n.publicId != null && n.publicId.contains('"')) ||
+              (n.systemId != null && n.systemId.contains('"'))) ok = false
         case Dom.ELEMENT if n.ns == Dom.NS_HTML && n.name == "plaintext" =>
           ok = false
         case Dom.ELEMENT if n.ns == Dom.NS_HTML &&

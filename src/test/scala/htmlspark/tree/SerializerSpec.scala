@@ -44,6 +44,36 @@ class SerializerSpec extends AnyFunSuite {
     assert(svg.contains("<foreignObject></foreignObject>"))
   }
 
+  test("element-root fragments: escaped text, template contents, pre guard") {
+    def find(root: DomNode, name: String): DomNode = {
+      var found: DomNode = null
+      var stack: List[DomNode] = root :: Nil
+      while (found == null && stack.nonEmpty) {
+        val n = stack.head; stack = stack.tail
+        if (n.kind == Dom.ELEMENT && n.name == name) found = n
+        else {
+          if (n.kind == Dom.ELEMENT && n.contentFragment != null)
+            stack = n.contentFragment :: stack
+          if (n.children != null) stack = n.children.toList ::: stack
+        }
+      }
+      found
+    }
+    val doc1 = HtmlParser.parse("<div>1 < 2 & x</div>").doc
+    assert(HtmlSerializer.serialize(find(doc1, "div")) == "1 &lt; 2 &amp; x")
+    val doc2 = HtmlParser.parse("<template><p>t</p></template>").doc
+    assert(HtmlSerializer.serialize(find(doc2, "template")) == "<p>t</p>")
+    val doc3 = HtmlParser.parse("<pre>\n\nx</pre>").doc
+    assert(HtmlSerializer.serialize(find(doc3, "pre")) == "\n\nx")
+    val doc4 = HtmlParser.parse("<script>a<b</script>").doc
+    assert(HtmlSerializer.serialize(find(doc4, "script")) == "a<b")
+  }
+
+  test("roundTrips flags doctype ids containing a double quote") {
+    val d = HtmlParser.parse("<!DOCTYPE html PUBLIC '-//x\"y//'><p>a").doc
+    assert(!HtmlSerializer.roundTrips(d))
+  }
+
   test("doctype keeps public/system ids (quirks survive the round trip)") {
     val html = "<!DOCTYPE HTML PUBLIC \"-//W3C//DTD HTML 3.2 Final//EN\"><p>x"
     val s = ser(html)
