@@ -31,7 +31,10 @@ object EncodingSniffer {
     * label resolves. */
   def normalizeLabel(label0: String): String = {
     if (label0 == null) return null
-    val label = label0.trim.toLowerCase
+    // Locale.ROOT: under a Turkish default locale, bare toLowerCase maps
+    // 'I' to dotless 'ı', so IBM866/ISO-8859-*/SHIFT_JIS labels would miss
+    // the registry and silently fall back to windows-1252 (ADVICE r4).
+    val label = label0.trim.toLowerCase(java.util.Locale.ROOT)
     EncodingLabels.labelToName.get(label) match {
       case Some("UTF-16BE") | Some("UTF-16LE") => "UTF-8"
       case Some("x-user-defined") => "windows-1252"
@@ -289,7 +292,7 @@ object EncodingSniffer {
   def extractCharsetFromContent(content: String): String = {
     if (content == null) return null
     val s = content
-    val lower = s.toLowerCase
+    val lower = s.toLowerCase(java.util.Locale.ROOT)
     var from = 0
     while (true) {
       val idx = lower.indexOf("charset", from)

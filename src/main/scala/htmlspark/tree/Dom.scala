@@ -28,6 +28,11 @@ final class DomNode(val kind: Int, val name: String, val ns: Int,
   // doctype payload
   var publicId: String = null
   var systemId: String = null
+  /** doctype only: the token's force-quirks flag. Not part of the dump
+    * format; recorded so HtmlSerializer.roundTrips can detect doctypes
+    * whose serialized form (which has no textual carrier for the flag)
+    * would reparse into a different quirks mode (ADVICE r4). */
+  var forceQuirks: Boolean = false
   /** template elements: separate content fragment (spec "template contents") */
   var contentFragment: DomNode = null
 

@@ -8,7 +8,10 @@ package htmlspark.tree
   * Spec-faithful except one documented extension: a doctype's public and
   * system ids are emitted when present (the spec serializer emits only the
   * name, which silently un-quirks a quirks document on reparse — keeping
-  * the ids makes serialize∘parse preserve the quirks mode and the dump).
+  * the ids preserves id-derived quirks modes and the dump). Quirks modes
+  * derived from the force-quirks FLAG alone (e.g. `<!DOCTYPE html PUBLIC>`
+  * with no ids) still cannot survive serialization — the flag has no
+  * textual form — so `roundTrips` flags those doctypes.
   *
   * Known spec-acknowledged lossiness (callers must expect it): rawtext
   * content containing its own end tag, `-->` inside comments, and anything
@@ -181,13 +184,27 @@ object HtmlSerializer {
           // containing one cannot round-trip
           if ((n.publicId != null && n.publicId.contains('"')) ||
               (n.systemId != null && n.systemId.contains('"'))) ok = false
+          // The force-quirks flag has no textual carrier: a reparse of the
+          // serialized doctype only re-derives it for an empty name
+          // (`<!DOCTYPE >` → missing-doctype-name). Flag doctypes whose
+          // reparse would land in a different quirks mode — e.g.
+          // `<!DOCTYPE html PUBLIC>` (force-quirks, no ids) serializes as
+          // `<!DOCTYPE html>` and reparses no-quirks (ADVICE r4).
+          else {
+            def nn(s: String) = if (s == null || s.isEmpty) null else s
+            val reparsedFq = n.name.isEmpty
+            if (TreeBuilder.decideQuirks(n.name, nn(n.publicId),
+                  nn(n.systemId), reparsedFq) !=
+                TreeBuilder.decideQuirks(n.name, n.publicId, n.systemId,
+                  n.forceQuirks)) ok = false
+          }
         case Dom.ELEMENT if n.ns == Dom.NS_HTML && n.name == "plaintext" =>
           ok = false
         case Dom.ELEMENT if n.ns == Dom.NS_HTML &&
             RawTextElements.contains(n.name) =>
           if (n.children != null && n.children.exists(c =>
             c.kind == Dom.TEXT && {
-              val t = c.text.toString.toLowerCase
+              val t = c.text.toString.toLowerCase(java.util.Locale.ROOT)
               t.contains("</") || t.contains("<!--")
             })) ok = false
         case _ =>

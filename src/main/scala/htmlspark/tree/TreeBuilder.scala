@@ -539,7 +539,7 @@ final class TreeBuilder extends TokenSink {
     (n.ns == NS_MATHML && n.name == "annotation-xml" && {
       val enc = if (n.attrs == null) null else n.attrs.get("encoding")
       enc != null && {
-        val e = enc.toLowerCase
+        val e = enc.toLowerCase(java.util.Locale.ROOT)
         e == "text/html" || e == "application/xhtml+xml"
       }
     })
@@ -574,30 +574,20 @@ final class TreeBuilder extends TokenSink {
       // default string-comparison rule — is a parse error (reference
       // counterpart: the TreeBuilder error event channel,
       // Core/TreeBuilder.cs:397-646)
-      if (name != "html" || publicId != null || forceQuirks ||
+      // The spec's stated trigger is name/public-id/system-id only — the
+      // force-quirks flag is NOT part of the condition (it only feeds
+      // quirks detection). Including it double-counted an EOF-truncated
+      // `<!DOCTYPE html` on top of the tokenizer's eof-in-doctype
+      // (ADVICE r4).
+      if (name != "html" || publicId != null ||
           (systemId != null && systemId != "about:legacy-compat"))
         err("obsolete-doctype")
-      doc.appendChild(DomNode.doctype(name, publicId, systemId))
-      quirksMode = decideQuirks(name, publicId, systemId, forceQuirks)
+      val dt = DomNode.doctype(name, publicId, systemId)
+      dt.forceQuirks = forceQuirks
+      doc.appendChild(dt)
+      quirksMode = TreeBuilder.decideQuirks(name, publicId, systemId, forceQuirks)
       mode = BEFORE_HTML
     } else err("unexpected-doctype")
-  }
-
-  private def decideQuirks(name: String, publicId: String, systemId: String,
-                           forceQuirks: Boolean): Int = {
-    val pub = if (publicId == null) null else publicId.toLowerCase
-    val sys = if (systemId == null) null else systemId.toLowerCase
-    if (forceQuirks || name != "html" ||
-        (pub != null && (ElemInfo.QuirkyPublicIdsExact.contains(pub) ||
-          ElemInfo.QuirkyPublicIdPrefixes.exists(pub.startsWith))) ||
-        (sys != null && sys == "http://www.ibm.com/data/dtd/v11/ibmxhtml1-transitional.dtd") ||
-        (sys == null && pub != null &&
-          ElemInfo.LimitedQuirksWithSystemPrefixes.exists(pub.startsWith)))
-      QUIRKS
-    else if (pub != null && (ElemInfo.AlmostStandardsPrefixes.exists(pub.startsWith) ||
-        (sys != null && ElemInfo.LimitedQuirksWithSystemPrefixes.exists(pub.startsWith))))
-      LIMITED_QUIRKS
-    else NO_QUIRKS
   }
 
   override def comment(text: String): Unit = {
@@ -1472,11 +1462,11 @@ final class TreeBuilder extends TokenSink {
     // (script-in-svg execution skipped: scripting disabled)
     var i = stack.length - 1
     var node = stack(i)
-    if (node.name.toLowerCase != name) err("foreign-end-tag-case-mismatch")
+    if (node.name.toLowerCase(java.util.Locale.ROOT) != name) err("foreign-end-tag-case-mismatch")
     var done = false
     while (!done) {
       if (i == 0) { done = true } // fragment case
-      else if (node.name.toLowerCase == name) {
+      else if (node.name.toLowerCase(java.util.Locale.ROOT) == name) {
         while (current ne node) pop()
         pop()
         done = true
@@ -1791,5 +1781,30 @@ final class TreeBuilder extends TokenSink {
       } else err("select-end-not-in-scope")
     case "template" => endTemplate()
     case _ => err("unexpected-end-in-select")
+  }
+}
+
+object TreeBuilder {
+  final val NO_QUIRKS = 0; final val LIMITED_QUIRKS = 1; final val QUIRKS = 2
+
+  /** Quirks-mode detection from a doctype token's fields (spec "the
+    * initial insertion mode" quirks tables; public data in ElemInfo).
+    * Static so HtmlSerializer.roundTrips can re-derive the mode a
+    * serialized doctype would produce on reparse. */
+  def decideQuirks(name: String, publicId: String, systemId: String,
+                   forceQuirks: Boolean): Int = {
+    val pub = if (publicId == null) null else publicId.toLowerCase(java.util.Locale.ROOT)
+    val sys = if (systemId == null) null else systemId.toLowerCase(java.util.Locale.ROOT)
+    if (forceQuirks || name != "html" ||
+        (pub != null && (ElemInfo.QuirkyPublicIdsExact.contains(pub) ||
+          ElemInfo.QuirkyPublicIdPrefixes.exists(pub.startsWith))) ||
+        (sys != null && sys == "http://www.ibm.com/data/dtd/v11/ibmxhtml1-transitional.dtd") ||
+        (sys == null && pub != null &&
+          ElemInfo.LimitedQuirksWithSystemPrefixes.exists(pub.startsWith)))
+      QUIRKS
+    else if (pub != null && (ElemInfo.AlmostStandardsPrefixes.exists(pub.startsWith) ||
+        (sys != null && ElemInfo.LimitedQuirksWithSystemPrefixes.exists(pub.startsWith))))
+      LIMITED_QUIRKS
+    else NO_QUIRKS
   }
 }

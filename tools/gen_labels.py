@@ -93,8 +93,13 @@ REGISTRY = {
     "GBK": (["chinese", "csgb2312", "csiso58gb231280", "gb2312", "gb_2312",
              "gb_2312-80", "gbk", "iso-ir-58", "x-gbk"], "GBK"),
     "gb18030": (["gb18030"], "GB18030"),
+    # JDK target is the HKSCS superset: the WHATWG big5 index includes the
+    # HKSCS extension block, which plain JDK Big5 decodes to U+FFFD.
+    # Residual delta vs the spec index: a handful of compatibility points
+    # (e.g. duplicate-mapping preferences), vs wholesale data loss for all
+    # HKSCS content under plain Big5.
     "Big5": (["big5", "big5-hkscs", "cn-big5", "csbig5", "x-x-big5"],
-             "Big5"),
+             "Big5-HKSCS"),
     "EUC-JP": (["cseucpkdfmtjapanese", "euc-jp", "x-euc-jp"], "EUC-JP"),
     "ISO-2022-JP": (["csiso2022jp", "iso-2022-jp"], "ISO-2022-JP"),
     "Shift_JIS": (["csshiftjis", "ms932", "ms_kanji", "shift-jis",
