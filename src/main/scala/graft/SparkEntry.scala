@@ -61,6 +61,7 @@ object SparkEntry {
     "p14_error_codes"    -> (PagesQueries.errorCodes _),
     "p15_top_error_codes" -> (PagesQueries.topErrorCodes _),
     "p16_parse_latency"  -> (PagesQueries.parseLatency _),
+    "p17_serialize_md5"  -> (PagesQueries.serializedMd5 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -338,6 +339,14 @@ object SparkEntry {
         |      FROM read_parquet('/root/repo/target/p14_expected/*.parquet')
         |      WHERE codes <> '') t
         |GROUP BY 1""".stripMargin,
+    // Serializer round-trip oracle (p17): per-url md5 of
+    // serialize(parse(html)) for the roundTrips-certified classes; the
+    // expected side is the template-derived serialized form of each
+    // class's normalized DOM (PagesGen.serializedExpectedFor). The row
+    // SET gates the roundTrips predicate; the hashes gate the serializer.
+    "p17_serialize_md5" ->
+      """SELECT url, ser_md5, n_ser_chars
+        |FROM read_parquet('/root/repo/target/p17_expected/*.parquet')""".stripMargin,
     // Token-profile oracle: DuckDB runs the SAME class regexes over the
     // template-derived expected text — parse+extract+tokenize end-to-end.
     "p13_token_profile" ->

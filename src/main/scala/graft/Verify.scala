@@ -45,7 +45,8 @@ object Verify {
         "p11_expected" -> htmlspark.pipeline.PagesGen.expectedAllDocs(spark, n),
         "p12_expected" -> htmlspark.pipeline.PagesGen.expectedMediaMeta(spark, n),
         "p13_expected" -> htmlspark.pipeline.PagesGen.expectedTextDocs(spark, n),
-        "p14_expected" -> htmlspark.pipeline.PagesGen.expectedErrorDocs(spark, n)
+        "p14_expected" -> htmlspark.pipeline.PagesGen.expectedErrorDocs(spark, n),
+        "p17_expected" -> htmlspark.pipeline.PagesGen.expectedSerializedDocs(spark, n)
       ).foreach { case (name, exp) =>
         exp.orderBy(exp.columns.sorted.map(col).toIndexedSeq: _*)
           .coalesce(1).write.mode("overwrite")

@@ -301,6 +301,107 @@ object PagesGen {
     Some(sb.toString)
   }
 
+  /** Template-derived expected SERIALIZATION per content index — the p17
+    * oracle face for the WHATWG fragment serializer: what
+    * serialize(parse(renderHtml(ci))) must produce, derived from the
+    * template with no tokenizer / tree builder / serializer involved.
+    * None for the rawtext class (78 <= cls < 86): its script payload
+    * contains `</div>` inside a string literal, a spec-acknowledged
+    * serialization hazard the engine's roundTrips predicate rejects — the
+    * Spark side filters by roundTrips, so the SET of urls is itself under
+    * the gate (a drifted predicate shows as a row-count mismatch).
+    *
+    * Per class this encodes the DOM normalization serialization makes
+    * visible: implied end tags written out (`</li>`, `</td>`), the implied
+    * <tbody> synthesized, foster-parented text placed before the table,
+    * the adoption-agency/a-in-a/Noah's-Ark DOM shape of the misnested
+    * class, attribute quoting, and text re-escaping (`&` → `&amp;`,
+    * `<` → `&lt;`). */
+  def serializedExpectedFor(ci: Long): Option[String] = {
+    val h = mix(ci)
+    val cls = pick(h, 100)
+    if (cls >= 78 && cls < 86) return None // rawtext hazards: not round-trippable
+    val charsetClass = if (cls >= 93 && cls < 96) pick(mix(h + 18), 12) else -1
+
+    val body = new java.lang.StringBuilder(1024)
+    if (cls < 60) { // plain article: implied </li> written out
+      body.append(s"<h1>${sentence(h, 4)}</h1>")
+      var p = 0
+      val nP = 3 + pick(mix(h + 1), 5)
+      while (p < nP) {
+        body.append(s"<p>${para(mix(h + 2 + p), 3)} &amp; <a href=\"/l$p\">${sentence(mix(h + 99 + p), 3)}</a></p>")
+        p += 1
+      }
+      body.append(s"<ul><li>${sentence(mix(h + 50), 4)}</li><li>${sentence(mix(h + 51), 4)}</li></ul>")
+    } else if (cls < 70) { // table: fostered text BEFORE <table>, implied
+      // <tbody>/</td>/</tr> materialized
+      body.append("misplaced <table><tbody>")
+      var r = 0
+      val nR = 2 + pick(mix(h + 3), 6)
+      while (r < nR) {
+        body.append(s"<tr><td>${sentence(mix(h + 10 + r), 3)}</td><td>${sentence(mix(h + 20 + r), 2)}</td></tr>")
+        r += 1
+      }
+      body.append("</tbody></table><p>after table</p>")
+    } else if (cls < 78) { // misnested: the adoption agency's no-furthest-
+      // block case pops <b> leaving <i> in the AFE, so the trailing run
+      // lands in a reconstructed <i> clone; a-in-a closes the first <a>;
+      // Noah's Ark caps the AFE but all four <b> ELEMENTS nest in the DOM
+      body.append(s"<p><b>${sentence(h + 4, 3)}<i>${sentence(h + 5, 3)}</i></b><i>${sentence(h + 6, 2)}</i></p>")
+      body.append(s"<a href=\"/x\">one</a><a href=\"/y\">two</a>")
+      body.append(s"<b><b><b><b>${sentence(h + 7, 3)}</b></b></b></b>")
+    } else if (cls < 90) { // quirks wrapper: plain paragraph body
+      body.append(s"<p>${para(h + 11, 2)}</p>")
+    } else if (cls < 93) { // foreign: CDATA re-escapes as text; the
+      // self-closed <circle/> serializes open+close (void is HTML-ns only)
+      body.append("<svg><title>chart</title>raw&lt;data<circle r=\"4\"></circle></svg>")
+      body.append(s"<math><mi>x</mi><mo>+</mo><mn>1</mn></math><p>${sentence(h + 12, 4)}</p>")
+    } else if (cls < 96) { // charset variants: markers pass through unescaped
+      body.append(s"<p>${charsetMarker(charsetClass)}${para(h + 13, 2)}</p>")
+    } else if (cls < 98) { // deep: every unclosed <div> gets its end tag
+      val depth = 200 + pick(mix(h + 14), 1800)
+      var d = 0
+      while (d < depth) { body.append("<div>"); d += 1 }
+      body.append(sentence(h + 15, 5))
+      d = 0
+      while (d < depth) { body.append("</div>"); d += 1 }
+    } else { // large: entity references serialize as their characters
+      val reps = 200 + pick(mix(h + 16), 800)
+      var r = 0
+      while (r < reps) {
+        body.append(s"<p>${para(mix(h + 17 + r), 2)} © …</p>")
+        r += 1
+      }
+    }
+
+    val doctype =
+      if (cls >= 86 && cls < 90)
+        "<!DOCTYPE html PUBLIC \"-//W3C//DTD HTML 3.2 Final//EN\">"
+      else "<!DOCTYPE html>"
+    val metaSer = charsetClass match {
+      case 2 => "<meta charset=\"windows-1252\">"
+      case 3 => "<meta http-equiv=\"Content-Type\" content=\"text/html; charset=windows-1252\">"
+      case 8 => "<meta charset=\"cp1256\">"
+      case 9 => "<meta charset=\"iso-8859-9\">"
+      case 10 => "<meta charset=\"koi8-u\">"
+      case 11 => "<meta charset=\"tis-620\">"
+      case 4 | 6 => "<!-- " + ("pad " * 300) + " --><meta charset=\"windows-1252\">"
+      case 5 | 7 => ""
+      case _ => "<meta charset=\"utf-8\">"
+    }
+    Some(s"$doctype<html><head>$metaSer<title>Doc $ci</title></head><body>$body</body></html>")
+  }
+
+  /** (url, ser_md5, n_ser_chars) expected rows for the p17 serializer
+    * oracle — dedup-aware like every expected face. */
+  def expectedSerializedDocs(spark: SparkSession, n: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, md5, length}
+    expectedUrlText(spark, n)(serializedExpectedFor)
+      .select(col("url"),
+        md5(col("expected_text").cast("binary")).as("ser_md5"),
+        length(col("expected_text")).cast("long").as("n_ser_chars"))
+  }
+
   /** The expected-extraction oracle as a table: (url, text_md5, n_chars)
     * for every plain-article doc the deduped pipeline should emit over
     * pages(n). Mirrors pages(n)'s dup logic — a url re-crawled one day

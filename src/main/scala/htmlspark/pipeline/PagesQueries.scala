@@ -101,6 +101,37 @@ object PagesQueries {
         regexp_count(col("text_extracted"), lit("[^\\x00-\\x7F]"))
           .cast("long").as("n_nonascii"))
 
+  /** Serializer ORACLE face (p17): per-url md5 of serialize(parse(html))
+    * for every document the engine's OWN roundTrips predicate certifies
+    * hazard-free. The expected side (PagesGen.serializedExpectedFor) is
+    * derived from the template — the serialized form of the normalized DOM
+    * each class must produce (implied end tags written out, implied
+    * <tbody>, fostered text before the table, the adoption-agency shape,
+    * attribute quoting, text re-escaping) — with no parser or serializer
+    * involved. Because the Spark side filters by roundTrips and the
+    * expected side by document class, the certified SET is gated too: a
+    * drifted predicate shows up as a row-count mismatch, a drifted
+    * serializer as a hash mismatch. Puts the round-4 HtmlSerializer under
+    * the same hard DuckDB gate as every other component (VERDICT r4 #1). */
+  def serializedMd5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = sampleN(spark, dir)
+    ParseJob.dedupLatest(PagesGen.pages(spark, n))
+      .mapPartitions { it =>
+        val engine = new htmlspark.tree.HtmlParser.Engine
+        it.flatMap { p =>
+          val doc = ParseJob.parseDomOnly(p.html, engine)
+          if (htmlspark.tree.HtmlSerializer.roundTrips(doc))
+            Some((p.url, htmlspark.tree.HtmlSerializer.serialize(doc)))
+          else None
+        }
+      }
+      .toDF("url", "serialized")
+      .select(col("url"),
+        md5(col("serialized").cast("binary")).as("ser_md5"),
+        length(col("serialized")).cast("long").as("n_ser_chars"))
+  }
+
   /** Encoding/quirks ORACLE face (p09): per-url sniff outcome from the
     * full pipeline, DuckDB-compared against PagesGen.expectedDocMeta
     * (template-side derivation, no parser). Covers BOM routing, the

@@ -115,11 +115,35 @@ object ParseJob {
     }
   }
 
+  /** Sniff → decode → parse with the same bounded restart parsePage
+    * applies, returning the final DOM (the serialization face p17 needs
+    * the tree, not the extracted row). Not used on the extraction hot
+    * path — parsePage keeps its fused form. */
+  def parseDomOnly(bytes0: Array[Byte],
+                   engine: HtmlParser.Engine): htmlspark.tree.DomNode = {
+    val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+    var sniff = EncodingSniffer.sniff(bytes)
+    var result = engine.parse(EncodingSniffer.decode(bytes, sniff))
+    if (sniff.source == EncodingSniffer.SourceDefault) {
+      val declared = findMetaCharset(result.doc)
+      if (declared != null && declared != sniff.charset)
+        result = engine.parse(EncodingSniffer.decode(bytes,
+          EncodingSniffer.Sniff(declared, "meta-in-parse", 0)))
+    }
+    result.doc
+  }
+
   /** Element budget for the in-parse meta-charset walk: a contradicting
     * meta buried megabytes deep must NOT force a full re-decode + re-parse
     * (the reference bounds meta detection; the spec prescan stops at 1024
     * bytes). A genuine charset meta lives in <head>, always within the
-    * first few dozen elements of document order. */
+    * first few dozen elements of document order.
+    *
+    * This budget is ALSO the recursion bound of the walk below — walk()
+    * recurses only on elements, and every element visit decrements the
+    * budget, so stack depth can never exceed MetaWalkBudget even on the
+    * adversarially-deep class. Do not "fix" the recursion into an
+    * unbounded walk without adding an explicit stack. */
   private val MetaWalkBudget = 512
 
   private def findMetaCharset(doc: htmlspark.tree.DomNode): String = {
