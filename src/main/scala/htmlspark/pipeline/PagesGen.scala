@@ -21,7 +21,7 @@ object PagesGen {
     * corpus can never silently serve a bench after a generator change
     * (round-4 lesson: the template-class addition post-dated the recorded
     * scaling legs; see BENCH.md §8 note). */
-  val GeneratorVersion = 4
+  val GeneratorVersion = 5
 
   /** splitmix64 — deterministic per-index pseudo-randomness. */
   private def mix(z0: Long): Long = {
@@ -70,7 +70,7 @@ object PagesGen {
     // (VERDICT r3 "What's missing #1").
     val charsetClass = if (cls >= 93 && cls < 96) pick(mix(h + 18), 12) else -1
 
-    if (cls < 60) { // plain article
+    if (cls < 57) { // plain article
       body.append(s"<h1>${sentence(h, 4)}</h1>")
       var p = 0
       val nP = 3 + pick(mix(h + 1), 5)
@@ -79,6 +79,24 @@ object PagesGen {
         p += 1
       }
       body.append(s"<ul><li>${sentence(mix(h + 50), 4)}<li>${sentence(mix(h + 51), 4)}</ul>")
+    } else if (cls == 57) { // in-caption error arms (round-5 err coverage):
+      // variant A: <tr> inside <caption> forces the close-caption-and-
+      // reprocess path; variant B: </table> inside <caption> does the same
+      // via the end-tag arm. One table per doc so p17 round-trips.
+      if (pick(mix(h + 75), 2) == 0)
+        body.append(s"<table><caption>${sentence(mix(h + 70), 3)}<tr><td>${sentence(mix(h + 71), 3)}</table>${sentence(mix(h + 72), 2)}")
+      else
+        body.append(s"<table><caption>${sentence(mix(h + 70), 3)}</table>${sentence(mix(h + 72), 2)}")
+    } else if (cls == 58) { // in-column-group error arms: a <div> inside
+      // <colgroup> pops the colgroup and foster-parents the div (and its
+      // text) BEFORE the table — also the class that pins the p17
+      // roundTrips predicate's element-before-table rejection
+      body.append(s"<table><colgroup><div>${sentence(mix(h + 73), 1)}</table><p>${sentence(mix(h + 74), 2)}</p>")
+    } else if (cls == 59) { // frameset-after-body-content error arms:
+      // framesetOk is false once the paragraph's text lands, so the
+      // <frameset> is ignored with an error, <frame> hits the in-body
+      // ignore list, and </frameset> is an unexpected end tag
+      body.append(s"<p>${sentence(mix(h + 76), 4)}</p><frameset><frame></frameset>")
     } else if (cls < 70) { // table-heavy incl. misplaced text (foster parenting)
       body.append("<table>misplaced ")
       var r = 0
@@ -196,7 +214,7 @@ object PagesGen {
   def plainExpectedText(i: Long): Option[String] = {
     val h = mix(i)
     val cls = pick(h, 100)
-    if (cls >= 60) return None
+    if (cls >= 57) return None
     val sb = new java.lang.StringBuilder(512)
     sb.append(s"Doc $i")          // <title> text, no block boundary after
     sb.append(sentence(h, 4)).append('\n') // <h1> close
@@ -262,10 +280,32 @@ object PagesGen {
   def fullExpectedText(i: Long): Option[String] = {
     val h = mix(i)
     val cls = pick(h, 100)
-    if (cls < 60) return plainExpectedText(i)
-    if (cls < 70) return tableExpectedText(i)
+    if (cls < 57) return plainExpectedText(i)
+    if (cls >= 60 && cls < 70) return tableExpectedText(i)
     val sb = new java.lang.StringBuilder(512)
     sb.append(s"Doc $i") // <title>, no block boundary after
+    if (cls == 57) { // caption-error class: caption close → \n; the
+      // td/tr/tbody/table close run collapses to 2; trailing text flat
+      if (pick(mix(h + 75), 2) == 0)
+        sb.append(sentence(mix(h + 70), 3)).append('\n')
+          .append(sentence(mix(h + 71), 3)).append("\n\n")
+          .append(sentence(mix(h + 72), 2))
+      else
+        sb.append(sentence(mix(h + 70), 3)).append("\n\n")
+          .append(sentence(mix(h + 72), 2))
+      return Some(sb.toString)
+    }
+    if (cls == 58) { // colgroup-error class: fostered div text first (div
+      // close \n + table close \n), then the paragraph
+      sb.append(sentence(mix(h + 73), 1)).append("\n\n")
+        .append(sentence(mix(h + 74), 2))
+      return Some(sb.toString)
+    }
+    if (cls == 59) { // frameset-error class: only the paragraph extracts
+      // (frameset/frame/end tag are all ignored in body)
+      sb.append(sentence(mix(h + 76), 4))
+      return Some(sb.toString)
+    }
     if (cls < 78) { // misnested formatting (adoption agency)
       sb.append(sentence(h + 4, 3)).append(sentence(h + 5, 3))
         .append(sentence(h + 6, 2)).append('\n') // </p>
@@ -321,10 +361,13 @@ object PagesGen {
     val h = mix(ci)
     val cls = pick(h, 100)
     if (cls >= 78 && cls < 86) return None // rawtext hazards: not round-trippable
+    if (cls == 58) return None // fostered <div> precedes the table: the
+    // roundTrips element-before-table rejection — this class pins the
+    // predicate's negative side in the p17 row set
     val charsetClass = if (cls >= 93 && cls < 96) pick(mix(h + 18), 12) else -1
 
     val body = new java.lang.StringBuilder(1024)
-    if (cls < 60) { // plain article: implied </li> written out
+    if (cls < 57) { // plain article: implied </li> written out
       body.append(s"<h1>${sentence(h, 4)}</h1>")
       var p = 0
       val nP = 3 + pick(mix(h + 1), 5)
@@ -333,6 +376,15 @@ object PagesGen {
         p += 1
       }
       body.append(s"<ul><li>${sentence(mix(h + 50), 4)}</li><li>${sentence(mix(h + 51), 4)}</li></ul>")
+    } else if (cls == 57) { // caption-error class: the caption closes early,
+      // so it serializes as a SIBLING of the implied tbody
+      if (pick(mix(h + 75), 2) == 0)
+        body.append(s"<table><caption>${sentence(mix(h + 70), 3)}</caption><tbody><tr><td>${sentence(mix(h + 71), 3)}</td></tr></tbody></table>${sentence(mix(h + 72), 2)}")
+      else
+        body.append(s"<table><caption>${sentence(mix(h + 70), 3)}</caption></table>${sentence(mix(h + 72), 2)}")
+    } else if (cls == 59) { // frameset-error class: only the paragraph is
+      // in the DOM (frameset/frame/end tag all ignored)
+      body.append(s"<p>${sentence(mix(h + 76), 4)}</p>")
     } else if (cls < 70) { // table: fostered text BEFORE <table>, implied
       // <tbody>/</td>/</tr> materialized
       body.append("misplaced <table><tbody>")
@@ -517,8 +569,17 @@ object PagesGen {
     *  - every other class parses clean (implied end tags and RCDATA
     *    handling are NOT errors). */
   def expectedErrorCodesFor(ci: Long): String = {
-    val cls = pick(mix(ci), 100)
-    if (cls < 60) ""
+    val h = mix(ci)
+    val cls = pick(h, 100)
+    if (cls < 57) ""
+    // round-5 err-arm classes (in-caption / in-colgroup / frameset-in-
+    // body): class-constant code multisets like every other class
+    else if (cls == 57)
+      if (pick(mix(h + 75), 2) == 0) "unexpected-table-tag-in-caption"
+      else "unexpected-table-end-in-caption"
+    else if (cls == 58) "unexpected-chars-in-table,unexpected-start-tag-in-table"
+    else if (cls == 59)
+      "unexpected-end-tag,unexpected-frameset-start-tag,unexpected-table-tag-in-body"
     else if (cls < 70) "non-ws-chars-in-table"
     else if (cls < 78) "adoption-agency-fe-not-current,nested-a"
     else if (cls < 86) ""
@@ -561,9 +622,17 @@ object PagesGen {
     // classes 5 and 7 are UNDECLARED (no meta element at all)
     val wrapper = if (charsetClass == 5 || charsetClass == 7) 4L else 5L
     val body: Long =
-      if (cls < 60) { // h1 + nP×(p + a) + ul + 2×li
+      if (cls < 57) { // h1 + nP×(p + a) + ul + 2×li
         val nP = 3 + pick(mix(h + 1), 5)
         1L + 2L * nP + 3L
+      } else if (cls == 57) {
+        // variant A: table + caption + implied tbody + tr + td;
+        // variant B: table + caption only
+        if (pick(mix(h + 75), 2) == 0) 5L else 2L
+      } else if (cls == 58) { // fostered div + table + colgroup + p
+        4L
+      } else if (cls == 59) { // p only (frameset/frame ignored)
+        1L
       } else if (cls < 70) { // table + implied tbody + nR×(tr + 2×td) + p
         val nR = 2 + pick(mix(h + 3), 6)
         3L + 3L * nR
