@@ -641,6 +641,12 @@ final class TreeBuilder extends TokenSink {
              IN_ROW | IN_CELL | IN_SELECT | IN_SELECT_IN_TABLE =>
           if (templateModes.nonEmpty) { mode = IN_TEMPLATE; again = true }
           else stopped = true
+        case IN_FRAMESET =>
+          // spec: EOF in frameset with the current node not the root html
+          // element is a parse error (an open <frameset> — the root-html
+          // case is fragment-only)
+          if (stack.length > 1) err("eof-in-frameset")
+          stopped = true
         case _ => stopped = true
       }
     }

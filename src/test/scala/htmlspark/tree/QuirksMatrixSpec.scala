@@ -64,4 +64,37 @@ class QuirksMatrixSpec extends AnyFunSuite {
       assert(mode(doctype) == want, s"doctype=[$doctype]")
     }
   }
+
+  /** Doctype keyword/id truncations at EOF (round-5 family): every arm
+    * sets force-quirks at EOF, which must win the quirks decision even
+    * when the partial public id would otherwise be limited-quirks. Raw
+    * input — nothing follows the truncation point. */
+  private val eofCases: Seq[(String, String)] = Seq(
+    ("<!DOCTYPE", "eof right after keyword"),
+    ("<!DOCTYPE ", "eof before name"),
+    ("<!DOCTYPE html", "eof after name"),
+    ("<!DOCTYPE html ", "eof after name and space"),
+    ("<!DOCTYPE html P", "eof mid PUBLIC keyword"),
+    ("<!DOCTYPE html PUBLIC", "eof after PUBLIC keyword"),
+    ("<!DOCTYPE html PUBLIC ", "eof before public id"),
+    ("<!DOCTYPE html PUBLIC \"foo", "eof inside public id"),
+    ("<!DOCTYPE html PUBLIC \"-//W3C//DTD XHTML 1.0 Transitional//EN",
+      "force-quirks beats the limited-quirks prefix of a truncated id"),
+    ("<!DOCTYPE html SYSTEM", "eof after SYSTEM keyword"),
+    ("<!DOCTYPE html SYSTEM \"about:legacy-compat",
+      "force-quirks beats a truncated legacy-compat system id"))
+
+  eofCases.foreach { case (input, label) =>
+    test(s"doctype truncation: $label → quirks") {
+      assert(HtmlParser.parse(input).quirksMode == Quirks, s"input=[$input]")
+    }
+  }
+
+  test("EOF-truncated <!DOCTYPE html does NOT double-count obsolete-doctype") {
+    // the tree-stage error condition is name/public-id/system-id only
+    // (the force-quirks flag is not part of the spec trigger); the
+    // tokenizer's eof-in-doctype is the only error this input carries
+    assert(!HtmlParser.parse("<!DOCTYPE html").errorCodes
+      .contains("obsolete-doctype"))
+  }
 }
