@@ -295,10 +295,15 @@ object OracleKernels {
                      // the FrameCorpusN fix removed (ADVICE r3 #4)
                      sampleCap: Int = htmlspark.pipeline.AnnOps.IvfSampleCap,
                      iters: Int = htmlspark.pipeline.AnnOps.IvfKmeansIters): Seq[(Long, Long, Long)] = {
-    val ordered = vecs.sortBy(_._1).map(_._2)
+    // trained sample order mirrors the operator's seeded distributed
+    // sample (Sketches.sampleKey asc, id asc); the untrained seam stays
+    // lowest-id
+    val seededOrder = vecs
+      .sortBy { case (id, _) => (htmlspark.pipeline.Sketches.sampleKey(id), id) }
+      .map(_._2)
     val centroids =
-      if (trained) naiveKmeans(ordered.take(sampleCap), nCells, iters)
-      else ordered.take(nCells)
+      if (trained) naiveKmeans(seededOrder.take(sampleCap), nCells, iters)
+      else vecs.sortBy(_._1).map(_._2).take(nCells)
     def cellScores(v: Array[Float]): Seq[(Double, Int)] =
       centroids.zipWithIndex.map { case (c, i) => (cosine(v, c), i) }
     val cellOf = vecs.map { case (id, v) =>

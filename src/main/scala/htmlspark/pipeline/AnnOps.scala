@@ -236,17 +236,30 @@ object AnnOps {
   def annIvf(spark: SparkSession, dir: String,
              nQueries: Int = DefaultQueries, k: Int = DefaultK,
              nCells: Int = DefaultCells, nProbe: Int = DefaultProbe,
-             trained: Boolean = true): DataFrame = {
+             trained: Boolean = true,
+             seededSample: Boolean = true): DataFrame = {
     import spark.implicits._
     val emb = table(spark, dir, "embeddings")
     // centroid-sample fetch is driver-bounded BY DESIGN (≤ IvfSampleCap
-    // rows ≈ the broadcast-dimension-table pattern, not a corpus collect);
-    // the LOWEST ids, not filter(id < cap): robust to id gaps (a
-    // filtered/compacted snapshot), and exactly what the differential
-    // oracle computes on its side
-    val sample: Array[Array[Float]] = emb
-      .orderBy("vec_id").limit(if (trained) IvfSampleCap else nCells)
-      .select("embedding").as[Array[Float]].collect()
+    // rows ≈ the broadcast-dimension-table pattern, not a corpus collect).
+    // Default sample order is the SEEDED pseudo-random key (Sketches
+    // .sampleKey — a distributed TakeOrdered over splitmix(vec_id)): a
+    // lowest-id sample is only representative when ids are uncorrelated
+    // with content, which time-ordered crawls violate (VERDICT r4 #5; the
+    // id-clustered fixture in SketchRecallSpec shows the failure).
+    // seededSample = false keeps the lowest-id order for A/B; the
+    // untrained seam stays lowest-first-nCells as documented.
+    val sample: Array[Array[Float]] =
+      if (trained && seededSample)
+        emb.select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])]
+          .map { case (id, v) => (Sketches.sampleKey(id), id, v) }
+          .toDF("skey", "vec_id", "embedding")
+          .orderBy("skey", "vec_id").limit(IvfSampleCap)
+          .select("embedding").as[Array[Float]].collect()
+      else emb
+        .orderBy("vec_id").limit(if (trained) IvfSampleCap else nCells)
+        .select("embedding").as[Array[Float]].collect()
     val centroids: Array[Array[Float]] =
       if (trained) Sketches.kmeansCentroids(sample, nCells, IvfKmeansIters)
       else sample.take(nCells)

@@ -227,6 +227,21 @@ object Sketches {
     ab / (math.sqrt(aa) * math.sqrt(bb))
   }
 
+  /** Deterministic decorrelating sample key for the IVF k-means sample
+    * (k-means||-style seeded distributed sampling, VERDICT r4 #5): orders
+    * the sample by a splitmix of the vec id so an id-order that correlates
+    * with content — time-ordered crawls, compacted/clustered snapshots —
+    * cannot skew which vectors train the quantizer OR which seed the
+    * k-means init (the first k sample vectors). Pure function of the id →
+    * bit-identical on every run/executor, and the Verify-side differential
+    * oracle re-derives the same order. */
+  def sampleKey(id: Long): Long = {
+    var z = (id ^ 0x5eedee75L) + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   /** Deterministic Lloyd k-means for the IVF coarse quantizer, cosine
     * assignment (VERDICT r3 "What's missing #4": first-N centroids pin the
     * search shape but cell BALANCE drives recall and probe cost at scale).
