@@ -75,6 +75,25 @@ class EncodingSnifferSpec extends AnyFunSuite {
     assert(!text.contains('�'))
   }
 
+  test("declared big5 page: HKSCS-extension bytes decode (not U+FFFD)") {
+    // ADVICE r4: the WHATWG big5 index includes the HKSCS block, so the
+    // canonical Big5 maps to the JDK's Big5-HKSCS superset. 0x88 0x56 is
+    // an HKSCS-region code (U+5159 in HKSCS) that plain JDK Big5 decodes
+    // to U+FFFD; BMP Big5 content must round-trip too.
+    val bmp = "中文測試"
+    val head = s"<!DOCTYPE html><html><head><meta charset=cn-big5></head><body><p>"
+    val bytes = head.getBytes("US-ASCII") ++
+      bmp.getBytes(java.nio.charset.Charset.forName("Big5")) ++
+      Array(0x88.toByte, 0x56.toByte) ++
+      "</p></body></html>".getBytes("US-ASCII")
+    val s = EncodingSniffer.sniff(bytes)
+    assert(s.charset == "Big5" && s.source == EncodingSniffer.SourceMeta)
+    val text = EncodingSniffer.decode(bytes, s)
+    assert(text.contains(bmp), "BMP Big5 text must survive byte-exact")
+    assert(!text.contains('�'),
+      "HKSCS-region bytes must decode via the Big5-HKSCS superset")
+  }
+
   test("ISO-8859-10/-14 decode via generated tables (no JDK charset)") {
     // spot values from the public single-byte indexes: 8859-10 Nordic
     // (0xA1=Ą, 0xBF=ŋ, 0xD0=Ð, 0xFF=ĸ), 8859-14 Celtic (0xA1=Ḃ,
