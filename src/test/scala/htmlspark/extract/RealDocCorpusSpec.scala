@@ -91,4 +91,30 @@ class RealDocCorpusSpec extends AnyFunSuite {
     assert(d.n_chars == 111389 && d.n_nodes == 3021)
     assert(md5(d.text_extracted) == "7e6d7eb2acdb622c4c617c1a38d3af06")
   }
+
+  test("serializer round-trip on the real corpus: certified pages are " +
+       "dump-stable; uncertified pages still reparse stably") {
+    import htmlspark.tree.{DomNode, HtmlParser, HtmlSerializer}
+    import htmlspark.encoding.EncodingSniffer
+    def domOf(name: String) = {
+      val bytes = load(name)
+      val sniff = EncodingSniffer.sniff(bytes)
+      (new HtmlParser.Engine)
+        .parse(EncodingSniffer.decode(bytes, sniff)).doc
+    }
+    // probe-verified: all four real pages happen to be dump-stable under
+    // serialize∘parse; the conservative predicate certifies the two with
+    // no rawtext/comment hazards and declines the two that ship scripts
+    // (correct failure direction — decline, never falsely certify)
+    for ((name, certified) <- Seq(
+        ("debian_users_groups.html", true), ("zlib_how.html", true),
+        ("underscore_index.html", false), ("test.html", false))) {
+      val doc = domOf(name)
+      assert(HtmlSerializer.roundTrips(doc) == certified,
+        s"$name: roundTrips certification drifted")
+      val re = (new HtmlParser.Engine).parse(HtmlSerializer.serialize(doc)).doc
+      assert(DomNode.dump(re) == DomNode.dump(doc),
+        s"$name: serialize∘parse dump drifted")
+    }
+  }
 }
