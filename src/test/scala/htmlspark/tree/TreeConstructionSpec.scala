@@ -15,7 +15,7 @@ import scala.collection.mutable.ArrayBuffer
 class TreeConstructionSpec extends AnyFunSuite {
 
   case class Case(file: String, idx: Int, data: String, fragment: Option[String],
-                  expected: String)
+                  expected: String, codes: Seq[String])
 
   private def parseDat(f: java.io.File): Seq[Case] = {
     val lines = scala.io.Source.fromFile(f, "UTF-8").getLines().toVector
@@ -27,10 +27,20 @@ class TreeConstructionSpec extends AnyFunSuite {
       val data = ArrayBuffer[String]()
       i += 1
       while (i < lines.length && !lines(i).startsWith("#")) { data += lines(i); i += 1 }
-      // skip #errors and similar sections until #document(-fragment)
+      // #errors: when the section is NON-empty it lists the engine's
+      // frozen error codes for this input and is ASSERTED (round 5 —
+      // files 41+ record adjudicated codes; the earlier files left the
+      // section empty = codes unrecorded, dump-only check)
+      val codes = ArrayBuffer[String]()
       var fragment: Option[String] = None
       while (i < lines.length && lines(i) != "#document") {
-        if (lines(i) == "#document-fragment") {
+        if (lines(i) == "#errors") {
+          i += 1
+          while (i < lines.length && !lines(i).startsWith("#")) {
+            if (lines(i).trim.nonEmpty) codes += lines(i).trim
+            i += 1
+          }
+        } else if (lines(i) == "#document-fragment") {
           i += 1
           fragment = Some(lines(i))
           i += 1
@@ -42,7 +52,7 @@ class TreeConstructionSpec extends AnyFunSuite {
       while (i < lines.length && lines(i).nonEmpty) { doc += lines(i); i += 1 }
       while (i < lines.length && lines(i).isEmpty) i += 1
       cases += Case(f.getName, idx, data.mkString("\n"), fragment,
-        doc.map(_ + "\n").mkString)
+        doc.map(_ + "\n").mkString, codes.toSeq)
       idx += 1
     }
     cases.toSeq
@@ -77,6 +87,10 @@ class TreeConstructionSpec extends AnyFunSuite {
           null
       }
       val _ = dumpRoot
+      if (c.codes.nonEmpty)
+        assert(result.errorCodes.sorted == c.codes.sorted,
+          s"error codes: got [${result.errorCodes.sorted.mkString(",")}] " +
+            s"want [${c.codes.sorted.mkString(",")}]")
     }
   }
 
