@@ -45,6 +45,29 @@ class ParserPropertySpec extends AnyFunSuite {
     }
   }
 
+  /** The error channel is a FROZEN vocabulary (FIXTURES.md §3): every
+    * code a parse can emit must be one of the literal err("...") strings
+    * in the engine source. A typo'd or ad-hoc code introduced by a future
+    * edit would silently break the p14/p15 class-constant contract and
+    * the .dat #errors pins — this meta-property catches it on any input
+    * the fuzzer can construct. */
+  private lazy val errVocabulary: Set[String] = {
+    val srcs = Seq("src/main/scala/htmlspark/tree/TreeBuilder.scala",
+      "src/main/scala/htmlspark/tokenizer/HtmlTokenizer.scala")
+    srcs.flatMap { p =>
+      val s = scala.io.Source.fromFile(p, "UTF-8").mkString
+      """err\("([a-z0-9-]+)"\)""".r.findAllMatchIn(s).map(_.group(1))
+    }.toSet
+  }
+
+  test("error-channel vocabulary: fuzzed parses emit only frozen codes") {
+    assert(errVocabulary.size > 100, "vocabulary extraction broke")
+    forAllN(htmlSoup) { s =>
+      val bad = HtmlParser.parse(s).errorCodes.filterNot(errVocabulary)
+      assert(bad.isEmpty, s"unknown codes ${bad.mkString(",")} for [$s]")
+    }
+  }
+
   test("CR / CRLF / LF input equivalence") {
     forAllN(htmlSoup.map(_.replace("\r", ""))) { s =>
       val lf = s
