@@ -249,6 +249,14 @@ object AnnOps {
     // id-clustered fixture in SketchRecallSpec shows the failure).
     // seededSample = false keeps the lowest-id order for A/B; the
     // untrained seam stays lowest-first-nCells as documented.
+    // NOTE on the sample-key typed map (ADVICE r5): attaching skey via a
+    // two-pass shape (ids-only TakeOrdered, then a broadcast join to fetch
+    // the ≤ IvfSampleCap winning vectors — guide §8) was implemented and
+    // A/B-measured this round: at bench scale it REGRESSED q24 by ~0.3 s
+    // warm / ~1 s cold (two extra jobs + two extra codegen units dwarf the
+    // avoided array deserialization on a 2000-row corpus), so the single
+    // TakeOrdered over the typed map stays. At 10^9+ vectors the two-pass
+    // shape wins (per-row array deser dominates) — see OPTIMIZATION_r06.md.
     val sample: Array[Array[Float]] =
       if (trained && seededSample)
         emb.select(col("vec_id"), col("embedding"))
@@ -361,17 +369,24 @@ object AnnOps {
           .select(col("query_id"), col("neighbor_id"),
             cosine(spark)(col("q"), col("ne")).as("cos"))
           .filter(!isnan(col("cos")))
-      } else bucketed.join(broadcast(queries),
-        col("table_id") === col("qtable") &&
-          col("bucket") === col("qbucket") &&
-          col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(spark)(col("q"), col("embedding")).as("cos"))
-      .filter(!isnan(col("cos"))) // NaN-score parity with oracle (ADVICE r3)
-      // a pair found in several tables scores identically — collapse before
-      // ranking so duplicates can't occupy multiple top-k slots
-      .groupBy("query_id", "neighbor_id")
-      .agg(max(col("cos")).as("cos"))
+      } else {
+        // braces bind the whole fat-path chain to this branch explicitly
+        // (ADVICE r5: the slim path above pre-dedups and must BYPASS the
+        // groupBy collapse below — previously only line-continuation
+        // parsing enforced that)
+        bucketed.join(broadcast(queries),
+            col("table_id") === col("qtable") &&
+              col("bucket") === col("qbucket") &&
+              col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            cosine(spark)(col("q"), col("embedding")).as("cos"))
+          // NaN-score parity with oracle (ADVICE r3)
+          .filter(!isnan(col("cos")))
+          // a pair found in several tables scores identically — collapse
+          // before ranking so duplicates can't occupy multiple top-k slots
+          .groupBy("query_id", "neighbor_id")
+          .agg(max(col("cos")).as("cos"))
+      }
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     cands.withColumn("rank", row_number().over(w))

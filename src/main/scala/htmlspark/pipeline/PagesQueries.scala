@@ -10,9 +10,14 @@ import org.apache.spark.sql.functions._
   */
 object PagesQueries {
 
-  /** Scale the corpus with the sf dir via the events row count. */
+  /** Scale the corpus with the sf dir via the events row count. Memoized
+    * per (session, dir) — every sampled p-face calls this (often twice:
+    * once for the sample size, once inside parsedSample), and each call
+    * was a full count job (r6; ~10 redundant jobs per bench run). */
   def nPages(spark: SparkSession, dir: String): Long =
-    spark.read.parquet(s"$dir/events.parquet").count()
+    PlanCache.getOrComputeLong(spark, s"npages:$dir") {
+      spark.read.parquet(s"$dir/events.parquet").count()
+    }
 
   /** Corpus size used by the sampled p-queries: shared so the Spark side
     * and the Verify-written oracle parquet agree on the row set. */
@@ -120,10 +125,16 @@ object PagesQueries {
       .mapPartitions { it =>
         val engine = new htmlspark.tree.HtmlParser.Engine
         it.flatMap { p =>
-          val doc = ParseJob.parseDomOnly(p.html, engine)
-          if (htmlspark.tree.HtmlSerializer.roundTrips(doc))
-            Some((p.url, htmlspark.tree.HtmlSerializer.serialize(doc)))
-          else None
+          // Per-row failure isolation (ADVICE r5): parsePage's contract is
+          // "any byte soup yields a row", so a throwing document here is
+          // treated as not-round-trippable instead of failing the stage —
+          // p17 degrades per-row like every other face.
+          scala.util.Try {
+            val doc = ParseJob.parseDomOnly(p.html, engine)
+            if (htmlspark.tree.HtmlSerializer.roundTrips(doc))
+              Some((p.url, htmlspark.tree.HtmlSerializer.serialize(doc)))
+            else None
+          }.toOption.flatten
         }
       }
       .toDF("url", "serialized")
@@ -200,22 +211,32 @@ object PagesQueries {
     val n = 1000L
     val tableDir = java.nio.file.Files
       .createTempDirectory("graft_resume_").toString
+    // The deduped corpus is consumed THREE times (commit leg, corpus agg,
+    // resume leg); un-persisted, each consumer re-generated the pages and
+    // re-ran the dedup (with its broadcast sub-job) from scratch (r6,
+    // guide §5: reuse > recompute when recompute is the expensive part).
+    // Bounded: n rows of raw pages, released before return.
     val pages = ParseJob.dedupLatest(PagesGen.pages(spark, n))
-    val firstHalf = pages.filter(pmod(xxhash64($"url"), lit(2)) === 0)
-    IcebergishIO.commit(ParseJob.parseAll(firstHalf), tableDir)
-    val corpus = pages.agg(
-      count(lit(1)),
-      sum(when(pmod(xxhash64($"url"), lit(2)) === 0, 1L).otherwise(0L))
-    ).collect()(0)
-    val resumed = ParseJob.parseAll(IcebergishIO.resumeFilter(pages, tableDir))
-      .agg(count(lit(1)),
-        sum(when($"parse_ok", 1L).otherwise(0L))).collect()(0)
-    Seq(
-      ("total", corpus.getLong(0)),
-      ("committed_snapshot_1", corpus.getLong(1)),
-      ("remaining_after_resume", resumed.getLong(0)),
-      ("parsed_remaining_ok", resumed.getLong(1))
-    ).toDF("stage", "n")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val firstHalf = pages.filter(pmod(xxhash64($"url"), lit(2)) === 0)
+      IcebergishIO.commit(ParseJob.parseAll(firstHalf), tableDir)
+      val corpus = pages.agg(
+        count(lit(1)),
+        sum(when(pmod(xxhash64($"url"), lit(2)) === 0, 1L).otherwise(0L))
+      ).collect()(0)
+      val resumed = ParseJob.parseAll(IcebergishIO.resumeFilter(pages, tableDir))
+        .agg(count(lit(1)),
+          sum(when($"parse_ok", 1L).otherwise(0L))).collect()(0)
+      Seq(
+        ("total", corpus.getLong(0)),
+        ("committed_snapshot_1", corpus.getLong(1)),
+        ("remaining_after_resume", resumed.getLong(0)),
+        ("parsed_remaining_ok", resumed.getLong(1))
+      ).toDF("stage", "n")
+    } finally {
+      try pages.unpersist(false) catch { case _: Throwable => () }
+    }
   }
 
   /** Per-partition lineage metrics of the salted parse (north rule). */
@@ -233,10 +254,15 @@ object PagesQueries {
         sum("sum_errors").as("sum_errors"))
   }
 
-  /** Throughput workhorse for Bench: full-scale corpus parse, one count. */
+  /** Throughput workhorse for Bench: full-scale corpus parse, one count.
+    * Same dedup-latest semantics and survivor stats as ParseJob.run, but
+    * through the narrow-shuffle stats variant (r6): the only columns this
+    * face aggregates are (n_bytes, parse_ok), so the dedup exchange ships
+    * ~40 B/row instead of full extracted rows — identical output values,
+    * ~10× fewer shuffled bytes. */
   def throughput(spark: SparkSession, dir: String): DataFrame = {
     val n = nPages(spark, dir)
-    ParseJob.run(PagesGen.pages(spark, n))
+    ParseJob.runParseFirstStats(PagesGen.pages(spark, n))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_bytes").cast("long")).as("sum_bytes"),
         sum(when(col("parse_ok"), 1L).otherwise(0L)).as("n_ok"))

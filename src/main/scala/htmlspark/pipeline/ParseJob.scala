@@ -346,6 +346,37 @@ object ParseJob {
       .select($"doc.*").as[ExtractedDoc]
   }
 
+  /** Narrow-shuffle survivor-stats variant of runParseFirst (r6, guide
+    * §2.3/§8): when the consumer only needs per-survivor (n_bytes,
+    * parse_ok) — the throughput face — the dedup decision needs just
+    * (url, warc_ts, tie) and the payload just those two stats, so the
+    * post-parse exchange carries ~40 B/row instead of the full extracted
+    * row (~0.5 KB, text included): a 10×+ smaller shuffle at any scale.
+    * The survivor per url is the (warc_ts, tie)-lexicographic-max row —
+    * exactly the row runParseFirst's rank-1 window picks (row_number over
+    * (warc_ts desc, tie desc)) — so the stats are identical; expressing it
+    * as max_by additionally enables map-side partial aggregation and drops
+    * the per-partition sort the ranking window required. */
+  def runParseFirstStats(pages: Dataset[Page]): DataFrame = {
+    import pages.sparkSession.implicits._
+    val withTie = saltBySize(pages)
+      .select(struct($"url", $"warc_ts", $"html", $"text", $"lang").as("p"),
+        xxhash64($"html").as("tie"))
+      .as[(Page, Long)]
+    val parsed = withTie.mapPartitions { it =>
+      val engine = new HtmlParser.Engine
+      it.map { case (p, tie) =>
+        val d = parsePage(p, engine)
+        (d.url, d.warc_ts, tie, d.n_bytes, d.parse_ok)
+      }
+    }.toDF("url", "warc_ts", "tie", "n_bytes", "parse_ok")
+    parsed.groupBy("url")
+      .agg(max_by(struct($"n_bytes", $"parse_ok"),
+        struct($"warc_ts", $"tie")).as("s"))
+      .select($"url", $"s.n_bytes".as("n_bytes"),
+        $"s.parse_ok".as("parse_ok"))
+  }
+
   /** Per-partition lineage/metrics over an extracted Dataset (second,
     * cheap aggregation pass — partial aggregation map-side). */
   def metrics(docs: Dataset[ExtractedDoc]): Dataset[PartitionMetrics] = {

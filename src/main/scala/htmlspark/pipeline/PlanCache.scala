@@ -20,6 +20,17 @@ private[pipeline] object PlanCache {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
+  // Session-scoped scalar memo (r6): tiny per-corpus facts (e.g. the
+  // events row count every sampled p-face derives its corpus size from)
+  // are computed once per (session, key) instead of one count job per
+  // face. Same lifecycle as the DataFrame cache: cleared by clear()/
+  // application end, recomputed from parquet by every new session.
+  private val scalars =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+
+  def getOrComputeLong(spark: SparkSession, key: String)(f: => Long): Long =
+    scalars.getOrElseUpdate((sessionId(spark), key), f)
+
   // Unique id per live session. SparkSession doesn't override equals, so
   // the WeakHashMap keys by identity — two live sessions can never share
   // an id (identityHashCode can collide; Spark's own sessionUUID is
@@ -78,11 +89,16 @@ private[pipeline] object PlanCache {
   def size(spark: SparkSession): Int =
     Option(ids.get(spark)).map(id => cache.keys.count(_._1 == id)).getOrElse(0)
 
-  private def clearById(id: String): Unit =
+  private def clearById(id: String): Unit = {
     cache.keys.filter(_._1 == id).foreach(dropKey)
+    scalars.keys.filter(_._1 == id).foreach(scalars.remove)
+  }
 
   /** Context teardown: every session of the ending context dies with it. */
-  private def clearAll(): Unit = cache.keys.toSeq.foreach(dropKey)
+  private def clearAll(): Unit = {
+    cache.keys.toSeq.foreach(dropKey)
+    scalars.clear()
+  }
 
   private def dropKey(k: (String, String)): Unit =
     cache.remove(k).foreach { df =>

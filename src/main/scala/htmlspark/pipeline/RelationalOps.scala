@@ -33,18 +33,25 @@ object RelationalOps {
         sum(dec("l_extendedprice")).cast("double").as("sum_price"),
         count(lit(1)).as("n_rows"))
 
-  /** Star join: fact × three small dims, all broadcast (no shuffle of orders). */
-  def joinBroadcast(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "orders")
-      .join(broadcast(table(spark, dir, "customer")),
-        col("o_custkey") === col("c_custkey"))
-      .join(broadcast(table(spark, dir, "nation")),
+  /** Star join: fact × three small dims. The dims are pre-joined and
+    * projected to (c_custkey, r_name) BEFORE the broadcast (r6, guide
+    * §3.1/§2.3): the fact side pays ONE hash-probe per row against one
+    * compact relation instead of three chained broadcast joins, and the
+    * broadcast ships two columns instead of every dim column. Identical
+    * result — all joins are inner equi-joins with no intervening filters. */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val dims = table(spark, dir, "customer")
+      .join(table(spark, dir, "nation"),
         col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(table(spark, dir, "region")),
+      .join(table(spark, dir, "region"),
         col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name"))
+    table(spark, dir, "orders")
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
       .groupBy("r_name")
       .agg(sum(dec("o_totalprice")).cast("double").as("revenue"),
         count(lit(1)).as("n_orders"))
+  }
 
   /** Latest-crawl-per-url pattern (north rule dedup) on the events table:
     * keep the newest event per user via a ranking window with total-order
