@@ -314,6 +314,21 @@ object ParseJob {
       case _ => runParseFirst(pages)
     }
 
+  /** The (url, warc_ts) tiebreak value, as a row-local kernel: exactly
+    * Spark's xxhash64(html) (seed 42 over the raw bytes — the catalyst
+    * XXH64 the expression compiles to; XxHashTieSpec pins the equality),
+    * computed INSIDE the parse map so the parse-first strategies need no
+    * separate projection + tuple-encoder stage around the parse (r6: one
+    * less per-row serialize/deserialize round-trip at any scale). Null
+    * html returns the seed (42) — exactly what the expression does with a
+    * null child — matching StreamingParse.htmlTie, which now delegates
+    * here (one source of truth for the survivor tiebreak). */
+  private[htmlspark] def tieOf(html: Array[Byte]): Long =
+    if (html == null) 42L
+    else org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      html, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+      html.length, 42L)
+
   /** Default strategy: parse BEFORE the dedup shuffle.
     *
     * The html payload (~2.5 KB/doc) never shuffles for ordinary docs: the
@@ -327,17 +342,14 @@ object ParseJob {
     import pages.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     // Tiebreak on xxhash64(html) — the SAME value the dedup-first
-    // strategies order by — computed before the parse and carried through
-    // it, so all strategies pick the same survivor under (url, warc_ts)
-    // ties (hashing text_extracted here would also leave markup-only
-    // differences unresolved: identical text, nondeterministic survivor).
-    val withTie = saltBySize(pages)
-      .select(struct($"url", $"warc_ts", $"html", $"text", $"lang").as("p"),
-        xxhash64($"html").as("tie"))
-      .as[(Page, Long)]
-    val parsed = withTie.mapPartitions { it =>
+    // strategies order by — computed in the parse kernel (tieOf) and
+    // carried through it, so all strategies pick the same survivor under
+    // (url, warc_ts) ties (hashing text_extracted here would also leave
+    // markup-only differences unresolved: identical text,
+    // nondeterministic survivor).
+    val parsed = saltBySize(pages).mapPartitions { it =>
       val engine = new HtmlParser.Engine
-      it.map { case (p, tie) => (parsePage(p, engine), tie) }
+      it.map(p => (parsePage(p, engine), tieOf(p.html)))
     }.toDF("doc", "tie")
     val w = Window.partitionBy($"doc.url")
       .orderBy($"doc.warc_ts".desc, $"tie".desc)
@@ -359,13 +371,10 @@ object ParseJob {
     * the per-partition sort the ranking window required. */
   def runParseFirstStats(pages: Dataset[Page]): DataFrame = {
     import pages.sparkSession.implicits._
-    val withTie = saltBySize(pages)
-      .select(struct($"url", $"warc_ts", $"html", $"text", $"lang").as("p"),
-        xxhash64($"html").as("tie"))
-      .as[(Page, Long)]
-    val parsed = withTie.mapPartitions { it =>
+    val parsed = saltBySize(pages).mapPartitions { it =>
       val engine = new HtmlParser.Engine
-      it.map { case (p, tie) =>
+      it.map { p =>
+        val tie = tieOf(p.html)
         val d = parsePage(p, engine)
         (d.url, d.warc_ts, tie, d.n_bytes, d.parse_ok)
       }

@@ -54,18 +54,21 @@ object RelationalOps {
   }
 
   /** Latest-crawl-per-url pattern (north rule dedup) on the events table:
-    * keep the newest event per user via a ranking window with total-order
-    * tiebreak. One shuffle on the partition key; no join.
-    */
-  def dedupLatest(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts").desc, col("event_id").desc)
+    * keep the newest event per user. Expressed as max_by over the
+    * total-order key (ts, event_id) rather than a rank-1 window (r6, guide
+    * §2.3 "aggregate before you shuffle"): the lexicographic struct max IS
+    * the row row_number() over (ts desc, event_id desc) ranks first, but
+    * the aggregate form gets map-side partial aggregation — the exchange
+    * ships one candidate per (map partition, user) instead of every event
+    * row — and drops the window's per-partition sort. Same single shuffle
+    * on the grouping key; no join; identical rows (q03 oracle MATCH). */
+  def dedupLatest(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("event_id").as("latest_event"),
-        col("ts").as("latest_ts"))
-  }
+      .groupBy("user_id")
+      .agg(max_by(struct(col("event_id"), col("ts")),
+        struct(col("ts"), col("event_id"))).as("s"))
+      .select(col("user_id"), col("s.event_id").as("latest_event"),
+        col("s.ts").as("latest_ts"))
 
   /** Checkpoint/resume shape: incoming minus already-committed via LEFT ANTI
     * join (preferred over EXCEPT — no shuffle-dedup of the payload side).

@@ -41,12 +41,12 @@ object StreamingParse {
 
   /** Mirror of Spark's `xxhash64(html)` (seed 42, null → seed) so the
     * streaming tiebreak picks the SAME survivor as the batch dedup
-    * strategies under (url, warc_ts) ties. */
+    * strategies under (url, warc_ts) ties. Delegates to ParseJob.tieOf
+    * (r6) — the batch parse-first strategies now compute the same kernel
+    * in-map, so there is exactly one implementation to keep spec-pinned
+    * (XxHashTieSpec). */
   private[streaming] def htmlTie(html: Array[Byte]): Long =
-    if (html == null) 42L
-    else org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-      html, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-      html.length, 42L)
+    htmlspark.pipeline.ParseJob.tieOf(html)
 
   /** LATEST-WINS streaming dedup — the genuine re-crawl reconciliation
     * dedupStream deliberately does not do, via custom keyed state
