@@ -239,14 +239,27 @@ object ParseJob {
       .filter($"rn" === 1).drop("rn").as[Page]
   }
 
+  /** Salt-count default: scale-adaptive (r6, guide §2.5) — 2× the
+    * session's default parallelism instead of a constant tuned for
+    * local[32]: on a 1000-core cluster a fixed 32 salts × 3 size buckets
+    * caps the oversized-doc leg at 96 tasks no matter how many oversized
+    * docs there are; deriving from the cluster keeps the skew leg's
+    * key-space ahead of its task count everywhere. Floor of 32 keeps the
+    * local bench exactly as before (local[32] → 64 ≥ 32). Routing-only:
+    * salts change which partition a row lands in, never the row set. */
+  private def defaultSalts(pages: Dataset[Page]): Int =
+    math.max(pages.sparkSession.sparkContext.defaultParallelism * 2, 32)
+
   /** Skew-salted repartition: CPU cost tracks byte size and nesting, which
     * AQE cannot see (it balances shuffle bytes, and a 2 MB doc costs ~1000×
     * a 2 KB doc in the SAME byte-balanced partition). Route rows by
     * (size_bucket, salt) so pathological docs spread across tasks.
+    * `salts <= 0` → scale-adaptive default (defaultSalts).
     */
-  def saltBySize(pages: Dataset[Page], salts: Int = 32,
+  def saltBySize(pages: Dataset[Page], salts0: Int = -1,
                  threshold: Int = 65536): Dataset[Page] = {
     import pages.sparkSession.implicits._
+    val salts = if (salts0 > 0) salts0 else defaultSalts(pages)
     // Only the skew classes pay the shuffle: ordinary docs (≤ threshold
     // bytes) stay where the scan put them; big/deep docs are hash-spread by
     // (size_bucket, salt). Parsing is order-independent, so the two legs
@@ -279,9 +292,11 @@ object ParseJob {
 
   /** Single-lineage variant of the salt: every row rides ONE hash
     * repartition keyed by (size_bucket, salt). More shuffled bytes than
-    * saltBySize, but the source is evaluated exactly once. */
-  def saltAll(pages: Dataset[Page], salts: Int = 32): Dataset[Page] = {
+    * saltBySize, but the source is evaluated exactly once.
+    * `salts <= 0` → scale-adaptive default (defaultSalts). */
+  def saltAll(pages: Dataset[Page], salts0: Int = -1): Dataset[Page] = {
     import pages.sparkSession.implicits._
+    val salts = if (salts0 > 0) salts0 else defaultSalts(pages)
     pages
       .withColumn("size_bucket",
         when(octet_length($"html") > 1000000, 3)

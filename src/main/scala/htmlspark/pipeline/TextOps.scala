@@ -15,14 +15,19 @@ object TextOps {
 
   /** Exact dedup: group by content hash, keep the smallest doc_id.
     * At 100 TB this is the canonical "hash-groupBy" dedup: the shuffle moves
-    * only (fp, doc_id), not document bodies.
+    * only (fp, doc_id), not document bodies. Persisted once per (session,
+    * dir): q26's keep/drop policy consumes the SAME keeper table (r6 —
+    * the dedup table written once per snapshot; one md5 + aggregation
+    * pass serves both faces).
     */
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "documents")
-      .select(md5(col("text").cast("binary")).as("fp"), col("doc_id"))
-      .groupBy("fp")
-      .agg(min(col("doc_id")).as("keeper_id"),
-        count(lit(1)).as("n_copies"))
+    cachedPlan(spark, dir, "exactdedup") {
+      table(spark, dir, "documents")
+        .select(md5(col("text").cast("binary")).as("fp"), col("doc_id"))
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("keeper_id"),
+          count(lit(1)).as("n_copies"))
+    }
 
   /** Token / char / whitespace counting — native string fns only. */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
@@ -397,7 +402,9 @@ object TextOps {
   def dedupDecision(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
       .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
-    val keepers = docs.groupBy("fp").agg(min(col("doc_id")).as("keeper_id"))
+    // q09's persisted keeper table — same aggregation, computed once per
+    // session instead of re-hashing + re-shuffling the corpus here (r6)
+    val keepers = exactDedup(spark, dir).select("fp", "keeper_id")
     val nearDropped = jaccardOnCandidates(spark, dir)
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("near", lit(true))
