@@ -382,8 +382,10 @@ object ParseJob {
     * The survivor per url is the (warc_ts, tie)-lexicographic-max row —
     * exactly the row runParseFirst's rank-1 window picks (row_number over
     * (warc_ts desc, tie desc)) — so the stats are identical; expressing it
-    * as max_by additionally enables map-side partial aggregation and drops
-    * the per-partition sort the ranking window required. */
+    * as max_by additionally enables map-side partial aggregation (plan:
+    * partial SortAggregate before the exchange — a sort remains because
+    * the struct agg buffer is sort-based, but it runs pre-shuffle and the
+    * exchange carries one candidate per (map partition, url)). */
   def runParseFirstStats(pages: Dataset[Page]): DataFrame = {
     import pages.sparkSession.implicits._
     val parsed = saltBySize(pages).mapPartitions { it =>

@@ -60,8 +60,11 @@ object RelationalOps {
     * the row row_number() over (ts desc, event_id desc) ranks first, but
     * the aggregate form gets map-side partial aggregation — the exchange
     * ships one candidate per (map partition, user) instead of every event
-    * row — and drops the window's per-partition sort. Same single shuffle
-    * on the grouping key; no join; identical rows (q03 oracle MATCH). */
+    * row. Physical shape (plans/r06/q03_dedup_latest_after.txt): partial
+    * SortAggregate → Exchange → final SortAggregate — the struct agg
+    * buffer keeps the aggregate sort-based, so a sort remains, but it
+    * runs BEFORE the shuffle on local rows and the exchange shrinks to
+    * ~n_users per map partition. Identical rows (q03 oracle MATCH). */
   def dedupLatest(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
       .groupBy("user_id")

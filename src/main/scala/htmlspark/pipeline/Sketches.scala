@@ -316,48 +316,6 @@ object Sketches {
     scored.take(math.min(nProbe, scored.length)).map(_._2)
   }
 
-  /** q11's stopword language guess as a row-local kernel (r6). Must stay
-    * bit-identical to the expression form
-    *   when(lower(text).contains(" the ")||.contains(" and "), "en")
-    *   .when(… " der "/" und " → "de").when(… " le "/" les " → "fr")
-    *   .otherwise("other")
-    * so lowering is Spark's OWN UTF8String.toLowerCase (not
-    * String.toLowerCase, whose locale/sigma handling can differ), and the
-    * ASCII needles use String.contains, which agrees with
-    * UTF8String.contains byte search for ASCII needles on any UTF-8 text. */
-  def langGuess(text: String): String = {
-    val t = org.apache.spark.unsafe.types.UTF8String
-      .fromString(if (text == null) "" else text).toLowerCase.toString
-    if (t.contains(" the ") || t.contains(" and ")) "en"
-    else if (t.contains(" der ") || t.contains(" und ")) "de"
-    else if (t.contains(" le ") || t.contains(" les ")) "fr"
-    else "other"
-  }
-
-  /** Distinct character n-grams of `t`, in first-occurrence order — the
-    * typed-map kernel behind q21's exact-Jaccard audit (r6): the previous
-    * transform/sequence/array_distinct/explode expression chain evaluates
-    * interpreted (boxed, outside whole-stage codegen) and allocated one
-    * boxed array per document. Counts CODE POINTS like Spark's
-    * length()/substr() (UTF8String positions) so the emitted grams match
-    * the expression form byte-for-byte even on supplementary characters.
-    * Empty when the text is shorter than n — same rows as exploding the
-    * guarded-empty array. */
-  def distinctNgrams(t: String, n: Int): Array[String] = {
-    val cps = t.codePoints().toArray
-    val m = cps.length - n + 1
-    if (m <= 0) return Array.empty
-    val set = new java.util.LinkedHashSet[String](m * 2)
-    var i = 0
-    while (i < m) {
-      set.add(new String(cps, i, n))
-      i += 1
-    }
-    val out = new Array[String](set.size)
-    set.toArray(out)
-    out
-  }
-
   /** |a ∩ b| for DISTINCT-element arrays (both producers here —
     * shingleHashes and winnow — emit set-deduped arrays, so one hash set
     * and a membership counter suffice; this runs once per q17 candidate

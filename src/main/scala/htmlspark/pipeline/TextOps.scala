@@ -41,22 +41,26 @@ object TextOps {
           .cast("long").as("n_spaces"))
 
   /** Heuristic language ID by stopword presence (n-gram-ish, deterministic).
-    * Typed-map kernel (r6): the expression form (lower + 6 contains in a
-    * when-chain feeding a two-string-key agg) compiled ~1 s of unique
-    * whole-stage code per session and scanned the lowered text up to six
-    * times; the kernel is one needle scan per branch with early exit, and
-    * the generated code shrinks to encoder plumbing. Lowering goes through
-    * Spark's own UTF8String.toLowerCase so the guess is bit-identical to
-    * the lower() expression on any input (ASCII or not); the needles are
-    * pure ASCII, so String.contains on the lowered text matches
-    * UTF8String.contains byte semantics exactly. */
+    * NOTE (r6): a single-pass typed-map kernel variant (UTF8String-exact
+    * lowering + early-exit needle scan) was implemented and A/B-measured.
+    * It cut q11's own bench time ~1.1 s → ~0.25 s, but an interleaved
+    * round-5-worktree A/B showed ~0.9 s REAPPEARING on the untouched q21
+    * in the same session: at this corpus size per-query cost is dominated
+    * by JVM warm-state (Janino + C2 on string-expression paths), and this
+    * query's expression form is what warms the later string-heavy plans.
+    * The expression form stays — a (-0.9 s, +0.9 s) redistribution across
+    * queries is not an optimization. See OPTIMIZATION_r06.md §q11/q21. */
   def langGuess(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+    // project lower(text) once — six contains() over a shared column beats
+    // six independent lower() evaluations (no CSE across when-branches)
+    val t = col("t")
+    val guess = when(t.contains(" the ") || t.contains(" and "), "en")
+      .when(t.contains(" der ") || t.contains(" und "), "de")
+      .when(t.contains(" le ") || t.contains(" les "), "fr")
+      .otherwise("other")
     table(spark, dir, "documents")
-      .select(col("text"), col("lang")).as[(String, String)]
-      .map { case (text, lang) =>
-        (Sketches.langGuess(text), lang) }
-      .toDF("lang_guess", "lang")
+      .select(lower(col("text")).as("t"), col("lang"))
+      .select(guess.as("lang_guess"), col("lang"))
       .groupBy("lang_guess", "lang")
       .agg(count(lit(1)).as("n"))
   }
@@ -358,19 +362,22 @@ object TextOps {
     * through minhashLshPairs. */
   def ngramJaccardExact(spark: SparkSession, dir: String,
                         nDocs: Int = 64, n: Int = 3): DataFrame = {
-    import spark.implicits._
     val docs = table(spark, dir, "documents")
       .filter(col("doc_id") < nDocs)
       .select(col("doc_id"), lower(col("text")).as("t"))
-    // gram extraction as a typed-map kernel (r6): the former transform/
-    // sequence/array_distinct/explode chain evaluated interpreted (boxed,
-    // no whole-stage codegen — the same rationale as the Sketches header);
-    // lower() stays in DataFrame land so Spark's exact Unicode lowering is
-    // preserved, and the kernel slices code points exactly like substr().
-    val grams = docs.as[(Long, String)]
-      .flatMap { case (id, t) =>
-        Sketches.distinctNgrams(t, n).iterator.map(g => (id, g)) }
-      .toDF("doc_id", "sh")
+    // NOTE (r6): a typed-flatMap gram kernel was implemented and
+    // A/B-measured against this expression chain — identical output, but
+    // the kernel REGRESSED the isolated query ~3× cold (its typed stages
+    // compile more whole-stage code than the interpreted-HOF chain saves
+    // on a 64-doc bounded sample). The audit is bounded by design, so the
+    // interpreted evaluation never grows with corpus size; the expression
+    // form stays. See OPTIMIZATION_r06.md §q21.
+    val grams = docs.select(col("doc_id"),
+      explode(array_distinct(
+        when(length(col("t")) >= n,
+          transform(sequence(lit(1), length(col("t")) - lit(n - 1)),
+            k => col("t").substr(k, lit(n))))
+          .otherwise(array().cast("array<string>")))).as("sh"))
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = grams.select(col("doc_id").as("doc_a"), col("sh"))
     val b = grams.select(col("doc_id").as("doc_b"), col("sh"))
